@@ -1,0 +1,152 @@
+"""Graph dataset loading.
+
+Mirrors the reference loader's contract (``/root/reference/dataset.py``):
+
+* ``.npz`` files with keys ``src_li``, ``dst_li``, ``num_nodes``
+  (dataset.py:69-83);
+* two-ints-per-line ``.txt`` edge lists (dataset.py:47-66);
+* CSR built from the COO edge list (dataset.py:94-104);
+* synthetic features ``randn(N, dim)`` and all-ones labels
+  (dataset.py:115,122) unless real ones are supplied;
+* masks: train = first 100%, val 30%, test 10% of nodes
+  (dataset.py:34-42).
+
+Implemented with NumPy + JAX instead of torch/scipy, and augmented with a
+degree-normalization option the reference computes but never applies
+(dataset.py:107-108 vs dgl_baseline/train.py:37-39).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def coo_to_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int):
+    """Build CSR (indptr, indices) from a COO edge list.
+
+    Row = src, col = dst, matching scipy's ``coo_matrix((val, (src, dst)))
+    .tocsr()`` in the reference (dataset.py:96-97).  Duplicate edges are
+    kept (the reference keeps them too — its values just add up).
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    order = np.argsort(src, kind="stable")
+    indices = dst[order].astype(np.int32)
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src, minlength=num_nodes), out=indptr[1:])
+    # Sort columns within each row (scipy tocsr yields sorted columns).
+    # Vectorized: lexsort by (row, col).
+    row_of_edge = np.repeat(np.arange(num_nodes, dtype=np.int64), np.diff(indptr))
+    order2 = np.lexsort((indices, row_of_edge))
+    indices = indices[order2]
+    return indptr.astype(np.int32), indices
+
+
+@dataclasses.dataclass
+class GraphDataset:
+    """In-memory graph + features + labels (host NumPy)."""
+
+    name: str
+    num_nodes: int
+    num_edges: int
+    num_features: int
+    num_classes: int
+    row_pointers: np.ndarray  # [N+1] int32
+    column_index: np.ndarray  # [nnz] int32
+    x: np.ndarray  # [N, num_features] float32
+    y: np.ndarray  # [N] int32
+    train_mask: np.ndarray  # [N] bool
+    val_mask: np.ndarray
+    test_mask: np.ndarray
+    avg_degree: float = 0.0
+    avg_edge_span: float = 0.0
+
+    @property
+    def degrees(self) -> np.ndarray:
+        return np.diff(self.row_pointers)
+
+    def norm_degrees(self) -> np.ndarray:
+        """sqrt(max(deg,1)) — the reference computes this but never uses it
+        (dataset.py:107-108); exposed for GCN symmetric normalization."""
+        return np.sqrt(np.maximum(self.degrees, 1)).astype(np.float32)
+
+
+def _finalize(
+    name: str,
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    dim: int,
+    num_classes: int,
+    seed: int = 0,
+    x: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+    verbose: bool = False,
+) -> GraphDataset:
+    num_edges = len(src)
+    avg_degree = num_edges / max(num_nodes, 1)
+    avg_edge_span = float(np.mean(np.abs(src.astype(np.int64) - dst.astype(np.int64)))) if num_edges else 0.0
+
+    start = time.perf_counter()
+    indptr, indices = coo_to_csr(src, dst, num_nodes)
+    if verbose:
+        print(f"# Build CSR (s): {time.perf_counter() - start:.3f}")
+        print(f"# nodes: {num_nodes}")
+        print(f"# avg_degree: {avg_degree:.2f}")
+        print(f"# avg_edgeSpan: {int(avg_edge_span)}")
+
+    rng = np.random.default_rng(seed)
+    if x is None:
+        x = rng.standard_normal((num_nodes, dim), dtype=np.float32)
+    if y is None:
+        y = np.ones(num_nodes, dtype=np.int32)
+
+    n = num_nodes
+    train_mask = np.zeros(n, dtype=bool)
+    val_mask = np.zeros(n, dtype=bool)
+    test_mask = np.zeros(n, dtype=bool)
+    train_mask[: int(n * 1.0)] = True
+    val_mask[: int(n * 0.3)] = True
+    test_mask[: int(n * 0.1)] = True
+
+    return GraphDataset(
+        name=name,
+        num_nodes=num_nodes,
+        num_edges=num_edges,
+        num_features=x.shape[1],
+        num_classes=num_classes,
+        row_pointers=indptr,
+        column_index=indices,
+        x=x,
+        y=y,
+        train_mask=train_mask,
+        val_mask=val_mask,
+        test_mask=test_mask,
+        avg_degree=avg_degree,
+        avg_edge_span=avg_edge_span,
+    )
+
+
+def load_npz(path: str, dim: int, num_classes: int, seed: int = 0, verbose: bool = False) -> GraphDataset:
+    """Load the reference's ``.npz`` graph format (dataset.py:69-83)."""
+    if not path.endswith(".npz"):
+        raise ValueError("graph file must be a .npz file")
+    obj = np.load(path, allow_pickle=True)
+    src, dst = np.asarray(obj["src_li"]), np.asarray(obj["dst_li"])
+    num_nodes = int(obj["num_nodes"])
+    name = path.rsplit("/", 1)[-1][: -len(".npz")]
+    return _finalize(name, src, dst, num_nodes, dim, num_classes, seed, verbose=verbose)
+
+
+def load_txt(path: str, dim: int, num_classes: int, seed: int = 0, verbose: bool = False) -> GraphDataset:
+    """Load a two-ints-per-line edge list (dataset.py:47-66)."""
+    arr = np.loadtxt(path, dtype=np.int64)
+    arr = arr.reshape(-1, 2)
+    src, dst = arr[:, 0], arr[:, 1]
+    num_nodes = int(max(src.max(), dst.max())) + 1
+    name = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    return _finalize(name, src, dst, num_nodes, dim, num_classes, seed, verbose=verbose)

@@ -1,0 +1,157 @@
+"""TiledGraph: an SGT-tiled graph with differentiable aggregation ops.
+
+This is the framework's equivalent of the reference's L1/L2 stack — the
+pybind11 op registry (``/root/reference/TCGNN_conv/TCGNN.cpp:260-272``) plus
+the ``torch.autograd.Function`` wrappers (``gnn_conv.py:26-158``) — folded
+into one object: it owns the forward *and transpose* SGT metadata and
+exposes ``custom_vjp``-wrapped ops.
+
+Differences from the reference, on purpose:
+
+* the reference aliases ``backward`` to the forward SpMM, assuming a
+  symmetric adjacency (TCGNN.cpp:270); we carry explicit transpose-graph
+  metadata so gradients are exact on directed graphs (and skip the extra
+  tiling when the caller declares symmetry);
+* the weighted-SpMM backward computes the exact per-edge weight gradient
+  ``dw_e = <dY[row_e], X[col_e]>`` via the two-matrix SDDMM, instead of the
+  reference AGNN backward's ad-hoc ``d_att @ column_index`` estimate
+  (gnn_conv.py:150-158).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
+from tcgnn_tpu.ops.sddmm import sddmm_tc
+from tcgnn_tpu.ops.spmm import spmm_tc
+from tcgnn_tpu.sgt.translate import (
+    sparse_graph_translate,
+    transpose_csr,
+)
+
+
+class TiledGraph:
+    """Device-resident SGT-tiled graph.
+
+    Build once per graph (the reference's ``Prep. (ms)`` stage,
+    main_tcgnn.py:50-54); reuse across layers/epochs.
+    """
+
+    def __init__(
+        self,
+        row_pointers: np.ndarray,
+        column_index: np.ndarray,
+        num_nodes: Optional[int] = None,
+        config: TileConfig = DEFAULT_CONFIG,
+        symmetric: bool = False,
+        interpret: Optional[bool] = None,
+    ):
+        row_pointers = np.asarray(row_pointers)
+        column_index = np.asarray(column_index)
+        if num_nodes is None:
+            num_nodes = len(row_pointers) - 1
+        self.num_nodes = int(num_nodes)
+        self.num_edges = int(len(column_index))
+        self.config = config
+        self.symmetric = symmetric
+        self.interpret = interpret
+
+        host_meta = sparse_graph_translate(row_pointers, column_index, num_nodes, config)
+        self.host_meta = host_meta
+        self.meta = host_meta.as_jax()
+
+        # Transpose metadata: structure can be shared when the caller declares
+        # the adjacency symmetric (skipping a second tiling pass), but the
+        # per-edge permutation is always needed — edge *weights* live in CSR
+        # edge order, and aggregating along A^T needs them in transpose order
+        # even when the structure is symmetric.
+        t_ptr, t_idx, t_src = transpose_csr(row_pointers, column_index, num_nodes)
+        self._t_edge_src = jnp.asarray(t_src)
+        if symmetric:
+            self.meta_t = self.meta
+        else:
+            self.meta_t = sparse_graph_translate(t_ptr, t_idx, num_nodes, config).as_jax()
+
+        self.row_pointers = jnp.asarray(row_pointers.astype(np.int32))
+        self.column_index = jnp.asarray(column_index.astype(np.int32))
+
+        self._build_ops()
+
+    # --- statistics (reference's preprocess printout, TCGNN.cpp:225) -------
+    @property
+    def tc_blocks(self) -> int:
+        return self.host_meta.num_real_blocks
+
+    @property
+    def exp_edges(self) -> int:
+        return self.host_meta.exp_edges
+
+    def _build_ops(self):
+        meta, meta_t = self.meta, self.meta_t
+        interpret = self.interpret
+
+        # ---- unweighted SpMM (TCGNN.forward / backward) -------------------
+        @jax.custom_vjp
+        def spmm(x):
+            return spmm_tc(x, meta, interpret=interpret)
+
+        def spmm_fwd(x):
+            return spmm(x), None
+
+        def spmm_bwd(_, dy):
+            return (spmm_tc(dy, meta_t, interpret=interpret),)
+
+        spmm.defvjp(spmm_fwd, spmm_bwd)
+        self.spmm = spmm
+
+        # ---- weighted SpMM (TCGNN.forward_AGNN) ---------------------------
+        t_edge_src = self._t_edge_src
+
+        def to_t(w):
+            return w[t_edge_src]
+
+        @jax.custom_vjp
+        def spmm_weighted(x, w):
+            return spmm_tc(x, meta, edge_weights=w, interpret=interpret)
+
+        def spmm_weighted_fwd(x, w):
+            return spmm_weighted(x, w), (x, w)
+
+        def spmm_weighted_bwd(res, dy):
+            x, w = res
+            # dx[j] = sum_{e=(i->j)} w_e dy[i]  ==  (A w)^T @ dy
+            dx = spmm_tc(dy, meta_t, edge_weights=to_t(w), interpret=interpret)
+            # dw_e = <dy[row_e], x[col_e]>  ==  SDDMM(dy, x)
+            dw = sddmm_tc(dy, meta, x, interpret=interpret)
+            return dx, dw
+
+        spmm_weighted.defvjp(spmm_weighted_fwd, spmm_weighted_bwd)
+        self.spmm_weighted = spmm_weighted
+
+        # ---- SDDMM (TCGNN.forward_ef / backward_ef) ------------------------
+        @jax.custom_vjp
+        def sddmm(x):
+            return sddmm_tc(x, meta, interpret=interpret)
+
+        def sddmm_fwd(x):
+            return sddmm(x), x
+
+        def sddmm_bwd(x, de):
+            # e_k = <x[row_k], x[col_k]>:
+            #   dx via rows:  dx[i] += sum_{e row=i} de_e * x[col_e]
+            #   dx via cols:  dx[j] += sum_{e col=j} de_e * x[row_e]
+            d_rows = spmm_tc(x, meta, edge_weights=de, interpret=interpret)
+            d_cols = spmm_tc(x, meta_t, edge_weights=to_t(de), interpret=interpret)
+            return (d_rows + d_cols,)
+
+        sddmm.defvjp(sddmm_fwd, sddmm_bwd)
+        self.sddmm = sddmm
+
+
+def tiled_graph_from_dataset(ds, config: TileConfig = DEFAULT_CONFIG, **kw) -> TiledGraph:
+    return TiledGraph(ds.row_pointers, ds.column_index, ds.num_nodes, config, **kw)

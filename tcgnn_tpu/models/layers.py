@@ -1,0 +1,96 @@
+"""GNN layers: GCN / GIN / AGNN convolutions + the SAG primitive.
+
+Functional (params-as-pytrees) re-design of the reference's
+``torch.nn.Module`` layers and autograd functions
+(/root/reference/gnn_conv.py:26-247):
+
+* ``gcn_conv``  — ``aggregate(X @ W)``  (TCGNNFunction, gnn_conv.py:52-85)
+* ``gin_conv``  — ``aggregate(X) @ W``  (TCGNNFunction_GIN, gnn_conv.py:87-113)
+* ``agnn_conv`` — ``X' = X @ W``; per-edge scores via SDDMM; per-head edge
+  attention ``att = e ⊗ attention_w``; weighted aggregation
+  (TCGNNFunction_AGNN, gnn_conv.py:115-158).  The reference launches one
+  kernel per head that all race on the same output buffer
+  (TCGNN_kernel.cu:253-268) and runs with n_heads=1 (gnn_conv.py:10); we
+  aggregate each head and average, which coincides with the reference for
+  one head and is well-defined for more.
+* ``sag``      — pure aggregation (TCGNNFunction_SAG, gnn_conv.py:26-49).
+
+All dense GEMMs ride XLA's MXU matmuls; aggregation rides the Pallas
+SGT kernels through :class:`tcgnn_tpu.graph.TiledGraph`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from tcgnn_tpu.graph import TiledGraph
+
+Params = Dict[str, jnp.ndarray]
+
+
+# --------------------------------------------------------------------------
+# Parameter initialization
+# --------------------------------------------------------------------------
+def init_linear(key, in_dim: int, out_dim: int, init: str = "reference") -> jnp.ndarray:
+    """``reference`` = plain randn like the GPU repo's layers
+    (gnn_conv.py:195,215 — reset_parameters is commented out); ``uniform`` =
+    the repo's (unused) reset_parameters / AGNN init (gnn_conv.py:198-200)."""
+    w = jax.random.normal(key, (in_dim, out_dim), jnp.float32)
+    if init == "uniform":
+        stdv = 1.0 / math.sqrt(out_dim)
+        w = jax.random.uniform(key, (in_dim, out_dim), jnp.float32, -stdv, stdv)
+    return w
+
+
+def init_gcn(key, in_dim: int, out_dim: int, init: str = "reference") -> Params:
+    return {"weights": init_linear(key, in_dim, out_dim, init)}
+
+
+init_gin = init_gcn
+
+
+def init_agnn(key, in_dim: int, out_dim: int, n_heads: int = 1) -> Params:
+    kw, ka = jax.random.split(key)
+    stdv = 1.0 / math.sqrt(out_dim)
+    return {
+        # AGNNConv always uniform-resets (gnn_conv.py:233).
+        "weights": jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -stdv, stdv),
+        "attention_w": jax.random.uniform(ka, (1, n_heads), jnp.float32, -stdv, stdv),
+    }
+
+
+# --------------------------------------------------------------------------
+# Layers
+# --------------------------------------------------------------------------
+def gcn_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
+    """GEMM node update, then SpMM neighbor aggregation (gnn_conv.py:59-68)."""
+    x_prime = jnp.dot(x, params["weights"], preferred_element_type=jnp.float32)
+    return graph.spmm(x_prime)
+
+
+def gin_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
+    """SpMM aggregation first, then GEMM update (gnn_conv.py:92-97)."""
+    return jnp.dot(graph.spmm(x), params["weights"], preferred_element_type=jnp.float32)
+
+
+def agnn_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
+    """Projection -> SDDMM edge scores -> per-head attention -> weighted SpMM
+    (gnn_conv.py:117-136)."""
+    x_prime = jnp.dot(x, params["weights"], preferred_element_type=jnp.float32)
+    edge_feature = graph.sddmm(x_prime)  # [n_e]
+    # [n_e, 1] @ [1, n_heads] -> [n_e, n_heads]  (gnn_conv.py:128)
+    edge_attentions = edge_feature[:, None] * params["attention_w"]
+    n_heads = edge_attentions.shape[1]
+    out = graph.spmm_weighted(x_prime, edge_attentions[:, 0])
+    for h in range(1, n_heads):
+        out = out + graph.spmm_weighted(x_prime, edge_attentions[:, h])
+    return out / n_heads
+
+
+def sag(x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
+    """Pure scatter-and-gather aggregation (gnn_conv.py:26-49)."""
+    return graph.spmm(x)

@@ -1,0 +1,202 @@
+"""Pallas MXU SDDMM over SGT-tiled graphs (per-edge dot-product scores).
+
+TPU-native re-design of ``sddmm_forward_cuda_kernel``
+(/root/reference/TCGNN_conv/TCGNN_kernel.cu:584-728): the GPU kernel tiles a
+window's 16 own feature rows against its condensed neighbors' rows, runs
+WMMA ``X @ Yᵀ`` into a 16x16 score tile, and scatters scores to edges via an
+index matrix (lines 654-663, 719-726).
+
+TPU dataflow, sharing the SpMM's uniform edge-chunk layout:
+
+* grid = (edge_chunks, d_tiles), d fastest so each chunk's score vector
+  accumulates across feature tiles in VMEM;
+* per chunk, per-edge row/col features are *selected* with one-hot MXU
+  contractions instead of a scatter matrix:
+
+      Ea = onehot(r)ᵀ-contract Xa_window   # [EC, DT]  row-side features
+      Eb = onehot(c)ᵀ-contract Xg_block    # [EC, DT]  col-side features
+      scores_chunk += rowsum(Ea * Eb)      # VPU
+
+* output is per-chunk-slot scores ``[n_chunks, EC]``; ``meta.edge_perm``
+  gathers them back to CSR edge order (the GPU's scatter epilogue, lines
+  719-726, done as an XLA gather).
+
+Generalized to two input matrices (xa for edge rows, xb for edge columns):
+``xa == xb`` gives the reference op; ``xa = dY, xb = X`` gives the exact
+edge-weight gradient of the weighted SpMM, which the reference approximates
+ad hoc (gnn_conv.py:150-158).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tcgnn_tpu.config import TileConfig
+from tcgnn_tpu.sgt.translate import JaxSGTMeta
+from tcgnn_tpu.ops.spmm import _mxu_precision, _round_up, default_interpret
+
+
+def _sddmm_kernel(
+    blk_ref, win_ref,
+    r_ref, c_ref, xa_ref, xg_ref,
+    o_ref,
+    *,
+    blk_h: int,
+    blk_w: int,
+    compute_dtype,
+):
+    d = pl.program_id(1)
+    ec = r_ref.shape[-1]
+
+    r = r_ref[0]  # [1, EC]
+    c = c_ref[0]  # [1, EC]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_h, ec), 0)
+    rmat = (row_iota == r).astype(compute_dtype)  # [blk_h, EC]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_w, ec), 0)
+    cmat_t = (col_iota == c).astype(compute_dtype)  # [blk_w, EC]
+
+    ea = jax.lax.dot_general(
+        rmat,
+        xa_ref[:].astype(compute_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
+    )  # [EC, DT]
+    eb = jax.lax.dot_general(
+        cmat_t,
+        xg_ref[:].astype(compute_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
+    )  # [EC, DT]
+
+    partial_scores = jnp.sum(ea * eb, axis=1)[None, :]  # [1, EC]
+
+    @pl.when(d == 0)
+    def _():
+        o_ref[0] = partial_scores
+
+    @pl.when(d != 0)
+    def _():
+        o_ref[0] += partial_scores
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_windows", "interpret", "d_tile"),
+)
+def _sddmm_padded(
+    xa: jnp.ndarray,
+    xb: jnp.ndarray,
+    col_ids: jnp.ndarray,
+    chunk_r: jnp.ndarray,
+    chunk_c: jnp.ndarray,
+    chunk_block: jnp.ndarray,
+    chunk_window: jnp.ndarray,
+    *,
+    cfg: TileConfig,
+    num_windows: int,
+    interpret: bool,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Returns chunk-layout scores [n_chunks, EC] f32."""
+    n_chunks, ec = chunk_r.shape
+    d_pad = xa.shape[1]
+    assert d_pad % d_tile == 0
+    n_dtiles = d_pad // d_tile
+
+    # Row side: pad xa to the window grid; col side: condensed gather of xb.
+    xa_pad = jnp.pad(xa, ((0, num_windows * cfg.blk_h - xa.shape[0]), (0, 0)))
+    xg = jnp.take(xb, col_ids, axis=0, fill_value=0)
+
+    # Mosaic-legal blocks: per-chunk metadata and scores as [Cn, 1, EC].
+    chunk_r = chunk_r[:, None, :]
+    chunk_c = chunk_c[:, None, :]
+
+    kernel = functools.partial(
+        _sddmm_kernel,
+        blk_h=cfg.blk_h,
+        blk_w=cfg.blk_w,
+        compute_dtype=cfg.compute_dtype,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks, n_dtiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, ec), lambda i, d, blk, win: (i, 0, 0)),
+            pl.BlockSpec((1, 1, ec), lambda i, d, blk, win: (i, 0, 0)),
+            pl.BlockSpec(
+                (cfg.blk_h, d_tile), lambda i, d, blk, win: (win[i], d)
+            ),
+            pl.BlockSpec(
+                (cfg.blk_w, d_tile), lambda i, d, blk, win: (blk[i], d)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ec), lambda i, d, blk, win: (i, 0, 0)),
+    )
+
+    flops = 2 * n_dtiles * n_chunks * ec * d_tile * (cfg.blk_w + cfg.blk_h)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 1, ec), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(xg.size + xa_pad.size) * 4 + chunk_r.size * 8 + n_chunks * ec * 4,
+            transcendentals=0,
+        ),
+    )(
+        chunk_block,
+        chunk_window,
+        chunk_r,
+        chunk_c,
+        xa_pad,
+        xg,
+    )
+
+
+def sddmm_tc(
+    xa: jnp.ndarray,
+    meta: JaxSGTMeta,
+    xb: jnp.ndarray | None = None,
+    *,
+    interpret: bool | None = None,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Tensor-core SDDMM: per-edge ``e_(i,j) = <xa[i], xb[j]>`` in CSR order.
+
+    ``xb=None`` means ``xb = xa`` (the reference op, ``sddmm_forward``,
+    TCGNN.cpp:126-150).
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    if xb is None:
+        xb = xa
+    n, d = xa.shape
+    d_pad = _round_up(max(d, 1), d_tile)
+    if d_pad != d:
+        xa = jnp.pad(xa, ((0, 0), (0, d_pad - d)))
+        xb = jnp.pad(xb, ((0, 0), (0, d_pad - d)))
+
+    scores = _sddmm_padded(
+        xa,
+        xb,
+        meta.col_ids,
+        meta.chunk_r,
+        meta.chunk_c,
+        meta.chunk_block,
+        meta.chunk_window,
+        cfg=meta.config,
+        num_windows=meta.num_windows,
+        interpret=interpret,
+        d_tile=d_tile,
+    )
+    return scores.reshape(-1)[meta.edge_perm]

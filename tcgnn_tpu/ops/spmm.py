@@ -1,0 +1,258 @@
+"""Pallas MXU SpMM over SGT-tiled graphs (TC-GNN's tensor-core aggregation).
+
+TPU-native re-design of ``spmm_forward_cuda_kernel`` /
+``spmmAGNN_forward_cuda_kernel`` (/root/reference/TCGNN_conv/TCGNN_kernel.cu:
+336-454, 459-578).  The GPU kernel assigns a thread block per 16-row window,
+builds a binary (or attention-weighted) 16x8 A-tile in shared memory from
+``edgeToColumn/edgeToRow``, gathers 8 neighbor feature rows, and runs a WMMA
+``acc += A @ X_gathered``.
+
+On TPU the same dataflow becomes:
+
+* **grid = (d_tiles, edge_chunks)** — SGT lays edges out in uniform
+  ``edge_chunk``-sized chunks sorted by (window, TC block), so the grid is
+  rectangular no matter how skewed the degree distribution is.  Per-chunk
+  scalars (owning block / window / first-in-window flag) ride in SMEM via
+  ``PrefetchScalarGridSpec`` and drive the input/output index maps.
+* **one-hot MXU matmuls instead of shared-memory scatter** — a TPU kernel
+  cannot scatter into VMEM the way CUDA scatters into shared memory, so the
+  A-tile is never materialized.  For a chunk with rows ``r_k``, condensed
+  cols ``c_k`` and weights ``w_k``:
+
+      gathered = Cᵀ-contract(onehot(c), Xg)   # [EC, D]  pick neighbor rows
+      out     += (onehot(r) * w) @ gathered    # [blk_h, D]  scatter-add rows
+
+  Both are dense MXU ops; padding slots use row sentinel ``blk_h`` whose
+  one-hot is all-zero, so they contribute nothing (the analogue of zeros in
+  the GPU's shared-mem tile, TCGNN_kernel.cu:399-408).
+* **condensed gather** — ``Xg = X[col_ids]``: SGT's column condensation
+  means only *unique* neighbors per window are gathered (the whole point of
+  TC-GNN), done as one XLA gather feeding the kernel.
+* **output revisiting** — chunks of one window are consecutive, so the
+  output tile accumulates in VMEM and spills to HBM once per (window,
+  d-tile), like the WMMA accumulator's single epilogue store
+  (TCGNN_kernel.cu:453).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tcgnn_tpu.config import TileConfig
+from tcgnn_tpu.sgt.translate import JaxSGTMeta
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def default_interpret() -> bool:
+    """Run Pallas in interpreter mode off-TPU (tests on the CPU mesh)."""
+    return jax.default_backend() != "tpu"
+
+
+def _mxu_precision(compute_dtype):
+    """f32 compute must not silently downcast to the MXU's bf16 passes;
+    bf16 compute takes the fast path (exact for the 0/1 one-hot operands)."""
+    if compute_dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def _spmm_kernel(
+    # scalar prefetch
+    blk_ref, win_ref, first_ref,
+    # tensor inputs
+    r_ref, c_ref, w_ref, xg_ref,
+    # output
+    o_ref,
+    *,
+    blk_h: int,
+    blk_w: int,
+    weighted: bool,
+    compute_dtype,
+):
+    i = pl.program_id(1)
+    ec = r_ref.shape[-1]
+
+    r = r_ref[0]  # [1, EC] int32 (blk_h == padding sentinel)
+    c = c_ref[0]  # [1, EC] int32
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_h, ec), 0)
+    rmat = (row_iota == r).astype(compute_dtype)  # [blk_h, EC]
+    if weighted:
+        rmat = rmat * w_ref[0].astype(compute_dtype)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_w, ec), 0)
+    cmat_t = (col_iota == c).astype(compute_dtype)  # [blk_w, EC] == Cᵀ
+
+    # gathered[k, d] = Xg[c_k, d]  — contraction over blk_w (dim 0 of both).
+    gathered = jax.lax.dot_general(
+        cmat_t,
+        xg_ref[:].astype(compute_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
+    )  # [EC, DT]
+
+    contrib = jnp.dot(
+        rmat,
+        gathered,
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
+    )
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        o_ref[:] = contrib
+
+    @pl.when(first_ref[i] == 0)
+    def _():
+        o_ref[:] += contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_windows", "weighted", "interpret", "d_tile"),
+)
+def _spmm_padded(
+    x: jnp.ndarray,
+    col_ids: jnp.ndarray,
+    chunk_r: jnp.ndarray,
+    chunk_c: jnp.ndarray,
+    chunk_w: jnp.ndarray,
+    chunk_block: jnp.ndarray,
+    chunk_window: jnp.ndarray,
+    chunk_first: jnp.ndarray,
+    *,
+    cfg: TileConfig,
+    num_windows: int,
+    weighted: bool,
+    interpret: bool,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """SpMM on D-padded input; returns [num_windows * blk_h, Dpad] f32."""
+    n_chunks, ec = chunk_r.shape
+    d_pad = x.shape[1]
+    assert d_pad % d_tile == 0
+    n_dtiles = d_pad // d_tile
+
+    # Condensed neighbor gather (SGT's payoff: unique-only feature reads).
+    xg = jnp.take(x, col_ids, axis=0, fill_value=0)  # [B*blk_w, Dpad]
+
+    # Mosaic needs the last two block dims divisible by (8, 128) or equal to
+    # the array dims — per-chunk metadata rides as [Cn, 1, EC] with full
+    # (1, 1, EC) blocks.
+    chunk_r = chunk_r[:, None, :]
+    chunk_c = chunk_c[:, None, :]
+    chunk_w = chunk_w[:, None, :]
+
+    kernel = functools.partial(
+        _spmm_kernel,
+        blk_h=cfg.blk_h,
+        blk_w=cfg.blk_w,
+        weighted=weighted,
+        compute_dtype=cfg.compute_dtype,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_dtiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, ec), lambda d, i, blk, win, first: (i, 0, 0)),
+            pl.BlockSpec((1, 1, ec), lambda d, i, blk, win, first: (i, 0, 0)),
+            pl.BlockSpec((1, 1, ec), lambda d, i, blk, win, first: (i, 0, 0)),
+            pl.BlockSpec(
+                (cfg.blk_w, d_tile),
+                lambda d, i, blk, win, first: (blk[i], d),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (cfg.blk_h, d_tile),
+            lambda d, i, blk, win, first: (win[i], d),
+        ),
+    )
+
+    flops = 2 * n_dtiles * n_chunks * ec * d_tile * (cfg.blk_w + cfg.blk_h)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_windows * cfg.blk_h, d_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=xg.size * 4 + chunk_r.size * 8 + num_windows * cfg.blk_h * d_pad * 4,
+            transcendentals=0,
+        ),
+    )(
+        chunk_block,
+        chunk_window,
+        chunk_first,
+        chunk_r,
+        chunk_c,
+        chunk_w,
+        xg,
+    )
+    return out
+
+
+def spmm_tc(
+    x: jnp.ndarray,
+    meta: JaxSGTMeta,
+    edge_weights: jnp.ndarray | None = None,
+    *,
+    interpret: bool | None = None,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Tensor-core SpMM: ``out = A @ x`` (optionally edge-weighted).
+
+    Args:
+      x: node features [N, D] (any float dtype; accumulation is f32).
+      meta: SGT tiling of A (CSR rows = output nodes).
+      edge_weights: per-CSR-edge weights [num_edges] for the AGNN path
+        (``spmmAGNN_forward_cuda``, TCGNN_kernel.cu:459-578); None = binary A.
+      interpret: force Pallas interpreter mode (default: auto off-TPU).
+      d_tile: feature tile width (multiple of 128).
+
+    Returns:
+      [N, D] f32 aggregated features.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    cfg = meta.config
+    n, d = x.shape
+    d_pad = _round_up(max(d, 1), d_tile)
+    if d_pad != d:
+        x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+
+    if edge_weights is None:
+        weighted = False
+        chunk_w = jnp.zeros_like(meta.chunk_r)  # unused placeholder
+    else:
+        weighted = True
+        w_padded = jnp.concatenate(
+            [edge_weights.astype(jnp.float32), jnp.zeros((1,), jnp.float32)]
+        )
+        chunk_w = w_padded[meta.chunk_edge_id]
+
+    out = _spmm_padded(
+        x,
+        meta.col_ids,
+        meta.chunk_r,
+        meta.chunk_c,
+        chunk_w,
+        meta.chunk_block,
+        meta.chunk_window,
+        meta.chunk_first_in_window,
+        cfg=cfg,
+        num_windows=meta.num_windows,
+        weighted=weighted,
+        interpret=interpret,
+        d_tile=d_tile,
+    )
+    return out[:n, :d]

@@ -1,0 +1,292 @@
+"""Sparse Graph Translation (SGT): condense CSR adjacency into MXU tiles.
+
+TPU-native re-design of the reference's preprocessing pass
+(``/root/reference/TCGNN_conv/TCGNN.cpp:157-226`` — per 16-row window:
+sort + dedup neighbor ids, remap to a condensed column space, count 16x8
+TC blocks).  The math is identical, only the geometry and the output
+layout change:
+
+* windows are ``blk_h`` (default 128) rows, TC blocks ``blk_w`` (default
+  128) condensed columns — MXU-sized instead of WMMA-sized;
+* instead of the GPU's ``edgeToColumn``/``edgeToRow`` arrays consumed by a
+  per-thread-block shared-memory build (``TCGNN_kernel.cu:399-408``), we
+  emit *uniform edge chunks*: every TC block's edge list is padded to a
+  multiple of ``edge_chunk`` and laid out as dense ``[n_chunks, edge_chunk]``
+  arrays.  This gives the Pallas kernels a perfectly regular grid (one
+  program per chunk) regardless of the graph's degree skew, with
+  per-chunk scalar metadata (owning block / window, first-chunk flags)
+  prefetched through SMEM.
+
+Everything here is vectorized NumPy — no Python loop over windows or
+edges — so preprocessing large graphs stays fast even before the native
+C++ path (``tcgnn_tpu/sgt/native``) is used.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@dataclasses.dataclass
+class SGTMeta:
+    """Tiling metadata produced by :func:`sparse_graph_translate`.
+
+    All arrays are host NumPy; ``as_jax()`` moves them to device.  Shapes use
+    W = num_windows, B = num_blocks, Cn = num_chunks, EC = edge_chunk.
+    """
+
+    config: TileConfig
+    num_nodes: int
+    num_edges: int
+
+    # --- per-window -------------------------------------------------------
+    # Number of TC blocks per row window; reference's `blockPartition`
+    # (TCGNN.cpp:216).  Empty windows get 1 padding block so every output
+    # tile is written by the kernel.
+    block_partition: np.ndarray  # [W] int32
+    # Count of *real* blocks (empty windows contribute 0) — the reference's
+    # printed `TC_Blocks` statistic (TCGNN.cpp:225).
+    num_real_blocks: int
+
+    # --- per-block --------------------------------------------------------
+    # Global source-node id for each condensed column; padding columns -> 0
+    # (their one-hot contributions are zero because no edge maps to them).
+    # TPU analogue of the GPU's per-block `sparse_AToX_index` gather table
+    # (TCGNN_kernel.cu:406).
+    col_ids: np.ndarray  # [B * blk_w] int32
+
+    # --- per-chunk --------------------------------------------------------
+    chunk_r: np.ndarray  # [Cn, EC] int32, row-in-window; blk_h = pad sentinel
+    chunk_c: np.ndarray  # [Cn, EC] int32, col-in-block; 0 for padding
+    chunk_edge_id: np.ndarray  # [Cn, EC] int32, CSR edge id; num_edges = pad
+    chunk_block: np.ndarray  # [Cn] int32, owning global block
+    chunk_window: np.ndarray  # [Cn] int32, owning row window
+    chunk_first_in_window: np.ndarray  # [Cn] int32 (0/1)
+    chunk_first_in_block: np.ndarray  # [Cn] int32 (0/1)
+
+    # --- per-edge ---------------------------------------------------------
+    # Flat chunk-layout slot of each CSR edge (chunk * EC + lane): gathers
+    # chunk-ordered per-edge results (e.g. SDDMM scores) back to CSR order.
+    edge_perm: np.ndarray  # [num_edges] int32
+
+    @property
+    def num_windows(self) -> int:
+        return int(self.block_partition.shape[0])
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.col_ids.shape[0] // self.config.blk_w)
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.chunk_block.shape[0])
+
+    @property
+    def exp_edges(self) -> int:
+        """Reference's `Exp_Edges` = TC_Blocks * blk_h * blk_w."""
+        return self.num_real_blocks * self.config.blk_h * self.config.blk_w
+
+    def as_jax(self):
+        """Device-resident view of the metadata (jnp arrays)."""
+        import jax.numpy as jnp
+
+        return JaxSGTMeta(
+            config=self.config,
+            num_nodes=self.num_nodes,
+            num_edges=self.num_edges,
+            num_windows=self.num_windows,
+            num_blocks=self.num_blocks,
+            num_chunks=self.num_chunks,
+            col_ids=jnp.asarray(self.col_ids),
+            chunk_r=jnp.asarray(self.chunk_r),
+            chunk_c=jnp.asarray(self.chunk_c),
+            chunk_edge_id=jnp.asarray(self.chunk_edge_id),
+            chunk_block=jnp.asarray(self.chunk_block),
+            chunk_window=jnp.asarray(self.chunk_window),
+            chunk_first_in_window=jnp.asarray(self.chunk_first_in_window),
+            chunk_first_in_block=jnp.asarray(self.chunk_first_in_block),
+            edge_perm=jnp.asarray(self.edge_perm),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class JaxSGTMeta:
+    """Device-side SGT metadata pytree consumed by the Pallas kernels."""
+
+    config: TileConfig
+    num_nodes: int
+    num_edges: int
+    num_windows: int
+    num_blocks: int
+    num_chunks: int
+    col_ids: "jax.Array"
+    chunk_r: "jax.Array"
+    chunk_c: "jax.Array"
+    chunk_edge_id: "jax.Array"
+    chunk_block: "jax.Array"
+    chunk_window: "jax.Array"
+    chunk_first_in_window: "jax.Array"
+    chunk_first_in_block: "jax.Array"
+    edge_perm: "jax.Array"
+
+
+def sparse_graph_translate(
+    row_pointers: np.ndarray,
+    column_index: np.ndarray,
+    num_nodes: Optional[int] = None,
+    config: TileConfig = DEFAULT_CONFIG,
+) -> SGTMeta:
+    """Run the SGT tiling pass over a CSR adjacency.
+
+    Semantics match the reference pass (``TCGNN.cpp:172-226``): per
+    ``blk_h``-row window, the set of distinct neighbor column ids is ranked
+    in sorted order; edge ``e`` with neighbor ``c`` in window ``w`` lands at
+    condensed column ``rank_w(c)``, i.e. TC block ``rank // blk_w``, in-block
+    column ``rank % blk_w``, in-window row ``row(e) % blk_h``.
+
+    Args:
+      row_pointers: CSR indptr, shape [N+1], int.
+      column_index: CSR indices, shape [nnz], int.
+      num_nodes: N; defaults to len(row_pointers) - 1.
+      config: tile geometry.
+
+    Returns:
+      An :class:`SGTMeta` with the uniform-chunk layout.
+    """
+    blk_h, blk_w, ec = config.blk_h, config.blk_w, config.edge_chunk
+    row_pointers = np.asarray(row_pointers, dtype=np.int64)
+    column_index = np.asarray(column_index, dtype=np.int64)
+    if num_nodes is None:
+        num_nodes = len(row_pointers) - 1
+    num_edges = int(column_index.shape[0])
+    num_windows = max(_cdiv(num_nodes, blk_h), 1)
+
+    degrees = np.diff(row_pointers)
+    edge_row = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
+    edge_window = edge_row // blk_h
+
+    # ---- condensed-column ranking (the sort+dedup of TCGNN.cpp:209-223) ---
+    # Unique (window, col) pairs in sorted order; inverse gives each edge's
+    # pair id, and the pair's rank within its window is its condensed column.
+    key = edge_window * np.int64(num_nodes) + column_index
+    uniq_key, edge_pair = np.unique(key, return_inverse=True)
+    pair_window = (uniq_key // num_nodes).astype(np.int64)
+    pair_col = (uniq_key % num_nodes).astype(np.int64)
+    uniques_per_window = np.bincount(pair_window, minlength=num_windows)
+    window_pair_start = np.zeros(num_windows + 1, dtype=np.int64)
+    np.cumsum(uniques_per_window, out=window_pair_start[1:])
+    pair_rank = np.arange(len(uniq_key), dtype=np.int64) - window_pair_start[pair_window]
+
+    # ---- block partition (TCGNN.cpp:216) ----------------------------------
+    real_blocks_per_window = _cdiv(uniques_per_window, blk_w)
+    num_real_blocks = int(real_blocks_per_window.sum())
+    # Give empty windows one padding block so the kernels write every output
+    # row tile (Pallas leaves unvisited output blocks undefined).
+    blocks_per_window = np.maximum(real_blocks_per_window, 1)
+    block_start = np.zeros(num_windows + 1, dtype=np.int64)
+    np.cumsum(blocks_per_window, out=block_start[1:])
+    num_blocks = int(block_start[-1])
+
+    # ---- per-block condensed-column gather table ---------------------------
+    pair_block = block_start[pair_window] + pair_rank // blk_w
+    col_ids = np.zeros(num_blocks * blk_w, dtype=np.int32)
+    col_ids[pair_block * blk_w + pair_rank % blk_w] = pair_col
+
+    # ---- edge -> (block, row, col) -----------------------------------------
+    edge_rank = pair_rank[edge_pair]
+    edge_block = pair_block[edge_pair]
+    edge_c = (edge_rank % blk_w).astype(np.int32)
+    edge_r = (edge_row % blk_h).astype(np.int32)
+
+    # ---- uniform chunk layout ----------------------------------------------
+    # Edges sorted by owning block (stable keeps CSR order within a block);
+    # each block's run is padded to a multiple of `ec`; blocks from the same
+    # window stay adjacent so output-tile revisiting is consecutive.
+    order = np.argsort(edge_block, kind="stable")
+    edges_per_block = np.bincount(edge_block, minlength=num_blocks)
+    chunks_per_block = np.maximum(_cdiv(edges_per_block, ec), 1)
+    block_chunk_start = np.zeros(num_blocks + 1, dtype=np.int64)
+    np.cumsum(chunks_per_block, out=block_chunk_start[1:])
+    num_chunks = int(block_chunk_start[-1])
+
+    # Slot of each (sorted) edge within its block.
+    block_edge_start = np.zeros(num_blocks + 1, dtype=np.int64)
+    np.cumsum(edges_per_block, out=block_edge_start[1:])
+    sorted_block = edge_block[order]
+    slot_in_block = np.arange(num_edges, dtype=np.int64) - block_edge_start[sorted_block]
+    edge_chunk_idx = block_chunk_start[sorted_block] + slot_in_block // ec
+    edge_lane = slot_in_block % ec
+    flat_slot = edge_chunk_idx * ec + edge_lane
+
+    chunk_r = np.full((num_chunks, ec), config.row_sentinel, dtype=np.int32)
+    chunk_c = np.zeros((num_chunks, ec), dtype=np.int32)
+    chunk_edge_id = np.full((num_chunks, ec), num_edges, dtype=np.int32)
+    chunk_r.reshape(-1)[flat_slot] = edge_r[order]
+    chunk_c.reshape(-1)[flat_slot] = edge_c[order]
+    chunk_edge_id.reshape(-1)[flat_slot] = order.astype(np.int32)
+
+    edge_perm = np.empty(num_edges, dtype=np.int32)
+    edge_perm[order] = flat_slot.astype(np.int32)
+
+    # ---- per-chunk scalar metadata -----------------------------------------
+    chunk_block = np.repeat(
+        np.arange(num_blocks, dtype=np.int32), chunks_per_block
+    )
+    window_of_block = np.repeat(
+        np.arange(num_windows, dtype=np.int32), blocks_per_window
+    )
+    chunk_window = window_of_block[chunk_block]
+    chunk_first_in_block = np.zeros(num_chunks, dtype=np.int32)
+    chunk_first_in_block[block_chunk_start[:-1]] = 1
+    chunk_first_in_window = np.zeros(num_chunks, dtype=np.int32)
+    chunk_first_in_window[block_chunk_start[block_start[:-1]]] = 1
+
+    return SGTMeta(
+        config=config,
+        num_nodes=int(num_nodes),
+        num_edges=num_edges,
+        block_partition=blocks_per_window.astype(np.int32),
+        num_real_blocks=num_real_blocks,
+        col_ids=col_ids,
+        chunk_r=chunk_r,
+        chunk_c=chunk_c,
+        chunk_edge_id=chunk_edge_id,
+        chunk_block=chunk_block,
+        chunk_window=chunk_window,
+        chunk_first_in_window=chunk_first_in_window,
+        chunk_first_in_block=chunk_first_in_block,
+        edge_perm=edge_perm,
+    )
+
+
+def transpose_csr(row_pointers: np.ndarray, column_index: np.ndarray, num_nodes: int):
+    """CSR of the transposed adjacency (for correct backward on directed graphs).
+
+    The reference aliases backward to the forward SpMM, silently assuming a
+    symmetric adjacency (``TCGNN.cpp:270``); we keep explicit transpose
+    metadata so gradients are correct for any graph.
+
+    Returns:
+      (t_row_pointers, t_column_index, t_edge_src): transpose CSR plus, per
+      transpose edge k, the id of the corresponding forward edge — used to
+      carry per-edge weights into the backward SpMM.
+    """
+    degrees = np.diff(np.asarray(row_pointers, dtype=np.int64))
+    src = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
+    dst = np.asarray(column_index, dtype=np.int64)
+    # Stable sort by dst: within a transpose row the src columns come out
+    # ascending (forward CSR iterates src ascending), i.e. CSR-sorted.
+    order = np.argsort(dst, kind="stable")
+    t_cols = src[order].astype(np.int32)
+    t_ptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(np.bincount(dst, minlength=num_nodes), out=t_ptr[1:])
+    return t_ptr.astype(np.int32), t_cols, order.astype(np.int32)
