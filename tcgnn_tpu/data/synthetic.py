@@ -56,31 +56,42 @@ def powerlaw_graph(
     each undirected pair, self-loop-free, deduplicated).
     """
     rng = np.random.default_rng(seed)
-    n_pairs = max(num_edges // 2, 1)
-
-    # Power-law source sampling via Zipf over a permuted id space.
-    ranks = rng.zipf(alpha, size=n_pairs)
-    ranks = np.clip(ranks, 1, num_nodes) - 1
     perm = rng.permutation(num_nodes)
-    src = perm[ranks]
+    target_pairs = max(num_edges // 2, 1)
 
-    # Destinations: mixture of local (gaussian around src) and global.
-    local = np.clip(
-        src + np.round(rng.standard_normal(n_pairs) * max(num_nodes * 0.001, 4.0)).astype(np.int64),
-        0,
-        num_nodes - 1,
-    )
-    glob = rng.integers(0, num_nodes, size=n_pairs)
-    take_local = rng.random(n_pairs) < locality
-    dst = np.where(take_local, local, glob)
+    keys = np.empty(0, dtype=np.int64)
+    # Zipf sampling + dedup collapses heavily on hubs; top up in rounds
+    # until the undirected pair count reaches the target.
+    for _ in range(8):
+        deficit = target_pairs - len(keys)
+        if deficit <= 0:
+            break
+        n_pairs = int(deficit * 1.6) + 16
 
-    keep = src != dst
-    src, dst = src[keep], dst[keep]
-    # Symmetrize + dedup.
-    a = np.minimum(src, dst).astype(np.int64)
-    b = np.maximum(src, dst).astype(np.int64)
-    key = np.unique(a * np.int64(num_nodes) + b)
-    a, b = key // num_nodes, key % num_nodes
+        # Power-law source sampling via Zipf over a permuted id space.
+        ranks = rng.zipf(alpha, size=n_pairs)
+        ranks = np.clip(ranks, 1, num_nodes) - 1
+        src = perm[ranks]
+
+        # Destinations: mixture of local (gaussian around src) and global.
+        local = np.clip(
+            src + np.round(rng.standard_normal(n_pairs) * max(num_nodes * 0.001, 4.0)).astype(np.int64),
+            0,
+            num_nodes - 1,
+        )
+        glob = rng.integers(0, num_nodes, size=n_pairs)
+        take_local = rng.random(n_pairs) < locality
+        dst = np.where(take_local, local, glob)
+
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.minimum(src, dst).astype(np.int64)
+        b = np.maximum(src, dst).astype(np.int64)
+        keys = np.unique(np.concatenate([keys, a * np.int64(num_nodes) + b]))
+
+    if len(keys) > target_pairs:
+        keys = rng.choice(keys, size=target_pairs, replace=False)
+    a, b = keys // num_nodes, keys % num_nodes
     return np.concatenate([a, b]), np.concatenate([b, a])
 
 

@@ -1,0 +1,170 @@
+"""Full-graph GNN trainer CLI.
+
+Mirrors the reference trainer (/root/reference/main_tcgnn.py) end to end:
+
+* CLI surface: ``--dataset --dim --num_layers --hidden --classes --epochs
+  --model {gcn,gin,agnn} --single_kernel`` (main_tcgnn.py:18-27), plus
+  TPU-specific knobs (tile geometry, compute dtype, data dir);
+* SGT preprocessing timed and reported as ``Prep. (ms)`` with
+  ``TC_Blocks`` / ``Exp_Edges`` stats (main_tcgnn.py:50-54, TCGNN.cpp:225);
+* optional single-kernel SAG profiling, 200 rounds
+  (main_tcgnn.py:65-70, gnn_conv.py:179-189);
+* full-batch training: Adam lr=0.01, NLL loss over all nodes
+  (main_tcgnn.py:143-151), 10 warm-up epochs then ``--epochs`` timed
+  epochs reported as ``Train (ms)`` (main_tcgnn.py:166-181).
+
+Differences: datasets are loaded from ``--data_dir`` when a matching
+``.npz`` exists (same file contract) and otherwise synthesized at the AE
+graphs' scale (no dataset download in this environment); timing uses
+``jax.block_until_ready`` instead of ``torch.cuda.synchronize``.
+
+Run:  python -m tcgnn_tpu.train --dataset pubmed --model gcn
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tcgnn_tpu.config import TileConfig
+from tcgnn_tpu.data import dataset as data_lib
+from tcgnn_tpu.data import synthetic
+from tcgnn_tpu.graph import TiledGraph
+from tcgnn_tpu.models import nets
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native TC-GNN trainer")
+    # Reference CLI surface (main_tcgnn.py:18-27).
+    p.add_argument("--dataset", type=str, default="amazon0601")
+    p.add_argument("--dim", type=int, default=96, help="input embedding dimension")
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--hidden", type=int, default=16)
+    p.add_argument("--classes", type=int, default=22)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--model", type=str, default="gcn", choices=["gcn", "gin", "agnn"])
+    p.add_argument("--single_kernel", action="store_true", help="profile a single SAG kernel")
+    # TPU-native extensions.
+    p.add_argument("--data_dir", type=str, default="tcgnn-ae-graphs/")
+    p.add_argument("--blk_h", type=int, default=128)
+    p.add_argument("--blk_w", type=int, default=128)
+    p.add_argument("--edge_chunk", type=int, default=128)
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--symmetric", action="store_true", help="declare A symmetric (skip transpose tiling)")
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--no_dropout", action="store_true")
+    return p
+
+
+def load_dataset(args) -> data_lib.GraphDataset:
+    npz = os.path.join(args.data_dir, args.dataset + ".npz")
+    if os.path.exists(npz):
+        return data_lib.load_npz(npz, args.dim, args.classes, seed=args.seed)
+    return synthetic.synthesize(args.dataset, args.dim, args.classes, seed=args.seed)
+
+
+def make_config(args) -> TileConfig:
+    return TileConfig(
+        blk_h=args.blk_h,
+        blk_w=args.blk_w,
+        edge_chunk=args.edge_chunk,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+
+
+def make_train_step(graph: TiledGraph, kind: str, x, y, optimizer, dropout_rate):
+    """Jitted full-batch step: forward, NLL over all nodes, Adam update
+    (main_tcgnn.py:146-151)."""
+
+    def loss_fn(params, key):
+        logp = nets.apply_net(params, kind, x, graph, dropout_key=key, dropout_rate=dropout_rate)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    @jax.jit
+    def step(params, opt_state, key):
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(params, sub)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, key, loss
+
+    return step
+
+
+def profile_sag(graph: TiledGraph, x, num_rounds: int = 200):
+    """Single scatter-and-gather kernel profiling (gnn_conv.py:179-189)."""
+    run = jax.jit(graph.spmm)
+    run(x).block_until_ready()  # compile
+    start = time.perf_counter()
+    out = None
+    for _ in range(num_rounds):
+        out = run(x)
+    out.block_until_ready()
+    dur = time.perf_counter() - start
+    print("=> SAG profiling avg (ms): {:.3f}".format(dur * 1e3 / num_rounds))
+    print()
+    return dur / num_rounds
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    print(args)
+
+    ds = load_dataset(args)
+    cfg = make_config(args)
+
+    # ---- SGT preprocessing (the reference's "Prep." stage) ----------------
+    start = time.perf_counter()
+    graph = TiledGraph(
+        ds.row_pointers, ds.column_index, ds.num_nodes, cfg, symmetric=args.symmetric
+    )
+    prep = time.perf_counter() - start
+    print("TC_Blocks:\t{}\nExp_Edges:\t{}".format(graph.tc_blocks, graph.exp_edges))
+    print("Prep. (ms):\t{:.3f}".format(prep * 1e3))
+
+    x = jnp.asarray(ds.x)
+    y = jnp.asarray(ds.y.astype(np.int32))
+
+    if args.single_kernel:
+        profile_sag(graph, x)
+        return
+
+    # ---- model + optimizer -------------------------------------------------
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    params = nets.init_net(
+        init_key, args.model, ds.num_features, args.hidden, ds.num_classes, args.num_layers
+    )
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(params)
+    dropout = 0.0 if args.no_dropout else args.dropout
+    step = make_train_step(graph, args.model, x, y, optimizer, dropout)
+
+    # ---- 10 warm-up epochs, then timed epochs (main_tcgnn.py:166-181) -----
+    loss = None
+    for _ in range(1, 10):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    loss.block_until_ready()
+
+    start_train = time.perf_counter()
+    for _ in range(1, args.epochs + 1):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    loss.block_until_ready()
+    train_time = time.perf_counter() - start_train
+
+    print("Final loss:\t{:.6f}".format(float(loss)))
+    print("Train (ms):\t{:6.3f}".format(train_time * 1e3 / args.epochs))
+    return train_time * 1e3 / args.epochs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""End-to-end trainer tests (CPU, interpret-mode kernels)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tcgnn_tpu.config import TileConfig
+from tcgnn_tpu.data.dataset import coo_to_csr
+from tcgnn_tpu.data.synthetic import powerlaw_graph, synthesize
+from tcgnn_tpu.graph import TiledGraph
+from tcgnn_tpu.models import nets
+from tcgnn_tpu.train import make_train_step
+
+CFG = TileConfig(blk_h=16, blk_w=16, edge_chunk=16)
+
+
+@pytest.mark.parametrize("kind", ["gcn", "gin"])
+def test_loss_decreases(kind):
+    n, e, d, classes = 120, 700, 16, 4
+    src, dst = powerlaw_graph(n, e, seed=2)
+    indptr, indices = coo_to_csr(src, dst, n)
+    graph = TiledGraph(indptr, indices, n, CFG, symmetric=True)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
+    y = jnp.asarray(rng.integers(0, classes, n).astype(np.int32))
+
+    params = nets.init_net(jax.random.PRNGKey(0), kind, d, 16, classes, 2, init="uniform")
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(params)
+    step = make_train_step(graph, kind, x, y, optimizer, dropout_rate=0.0)
+
+    key = jax.random.PRNGKey(1)
+    params, opt_state, key, loss0 = step(params, opt_state, key)
+    loss = loss0
+    for _ in range(30):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    assert float(loss) < float(loss0)
+    assert np.isfinite(float(loss))
+
+
+def test_synthetic_edge_counts():
+    ds = synthesize("pubmed")
+    n, e, d, c = 19717, 88648, 500, 3
+    assert ds.num_nodes == n
+    assert ds.num_features == d
+    assert ds.num_classes == c
+    # Within 25% of the target edge count after dedup/top-up.
+    assert abs(ds.num_edges - e) / e < 0.25
+    # Symmetric by construction.
+    from tcgnn_tpu.sgt.translate import transpose_csr
+
+    t_ptr, t_idx, _ = transpose_csr(ds.row_pointers, ds.column_index, ds.num_nodes)
+    np.testing.assert_array_equal(t_ptr, ds.row_pointers)
+    np.testing.assert_array_equal(t_idx, ds.column_index)
+
+
+def test_trainer_cli_smoke(capsys):
+    """The CLI runs end-to-end and prints the reference's output contract."""
+    from tcgnn_tpu import train as train_mod
+
+    train_mod.main(
+        [
+            "--dataset", "rand_200_1000",
+            "--dim", "8", "--hidden", "8", "--classes", "3",
+            "--num_layers", "2", "--epochs", "3", "--model", "gcn",
+            "--blk_h", "16", "--blk_w", "16", "--edge_chunk", "16",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "Prep. (ms):" in out
+    assert "TC_Blocks:" in out
+    assert "Train (ms):" in out
