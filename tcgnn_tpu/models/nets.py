@@ -57,7 +57,11 @@ def apply_net(
     graph: TiledGraph,
     dropout_key: Optional[jax.Array] = None,
     dropout_rate: float = 0.5,
+    num_valid_classes: Optional[int] = None,
 ) -> jnp.ndarray:
+    """Forward pass.  ``num_valid_classes`` masks trailing logit columns to
+    -inf before the log_softmax — used by the distributed trainer when the
+    class dim is padded up for even feature-axis sharding."""
     conv = {"gcn": L.gcn_conv, "gin": L.gin_conv, "agnn": L.agnn_conv}[kind]
 
     h = jax.nn.relu(conv(params[0], x, graph))
@@ -68,4 +72,7 @@ def apply_net(
     for p in params[1:-1]:
         h = jax.nn.relu(conv(p, h, graph))
     h = conv(params[-1], h, graph)
+    if num_valid_classes is not None and num_valid_classes < h.shape[1]:
+        col = jnp.arange(h.shape[1])[None, :]
+        h = jnp.where(col < num_valid_classes, h, -1e30)
     return jax.nn.log_softmax(h, axis=1)

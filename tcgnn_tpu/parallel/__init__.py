@@ -1,0 +1,18 @@
+from tcgnn_tpu.parallel.mesh import make_mesh
+from tcgnn_tpu.parallel.partition import partition_csr, partition_graph, ShardedSGTMeta
+from tcgnn_tpu.parallel.graph import DistributedTiledGraph, distributed_graph_from_dataset
+from tcgnn_tpu.parallel.train import (
+    init_distributed_net,
+    make_distributed_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "partition_csr",
+    "partition_graph",
+    "ShardedSGTMeta",
+    "DistributedTiledGraph",
+    "distributed_graph_from_dataset",
+    "init_distributed_net",
+    "make_distributed_train_step",
+]

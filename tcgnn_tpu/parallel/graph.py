@@ -1,0 +1,340 @@
+"""DistributedTiledGraph: multi-chip SGT graph with shard_map'ed Pallas ops.
+
+The reference framework is single-GPU with no distributed layer at all
+(SURVEY.md §2.3); this module is the TPU-native additive scope.  Design:
+
+* **mesh** ``('graph', 'feature')`` — ``graph`` shards row windows (nodes,
+  edges, outputs), ``feature`` shards the embedding dimension (the mesh-level
+  generalization of the per-warp dim tile in
+  ``/root/reference/TCGNN_conv/TCGNN_kernel.cu:355``).
+* **halo exchange** — each shard aggregates rows it owns but reads neighbor
+  features owned by any shard.  The GPU kernel's shared-memory gather
+  (``TCGNN_kernel.cu:415-427``) becomes a ``jax.lax.all_gather`` over the
+  ``graph`` axis feeding the local Pallas SpMM/SDDMM; XLA schedules the
+  ICI collective and can overlap it with independent compute.
+* **per-edge vectors** (SDDMM scores, attention weights) are
+  ``[G * edge_capacity]`` arrays sharded on ``graph`` — a shard's edges are
+  the contiguous CSR slice of its rows, so no reshuffling is needed between
+  SDDMM and the weighted SpMM of the same AGNN layer.
+* **backward** — explicit transpose partitioning (not the reference's
+  symmetric-adjacency alias, ``TCGNN.cpp:270``); weights given in forward
+  edge order are fetched post-all-gather through precomputed
+  ``chunk_fwd_slot`` tables.
+
+The public op surface (``spmm``, ``spmm_weighted``, ``sddmm``) matches
+:class:`tcgnn_tpu.graph.TiledGraph`, so the model layers in
+``tcgnn_tpu/models`` run unchanged on a mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
+from tcgnn_tpu.ops.spmm import _spmm_padded, default_interpret
+from tcgnn_tpu.ops.sddmm import _sddmm_padded
+from tcgnn_tpu.parallel.partition import ShardedSGTMeta, partition_graph
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+_META_FIELDS = (
+    "col_ids",
+    "chunk_r",
+    "chunk_c",
+    "chunk_edge_id",
+    "chunk_block",
+    "chunk_window",
+    "chunk_first_in_window",
+    "edge_perm",
+    "edge_valid",
+)
+
+
+def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> dict:
+    sh = NamedSharding(mesh, P("graph"))
+    out = {
+        k: jax.device_put(jnp.asarray(getattr(meta, k)), sh) for k in _META_FIELDS
+    }
+    if with_fwd_slot:
+        out["chunk_fwd_slot"] = jax.device_put(
+            jnp.asarray(meta.chunk_fwd_slot), sh
+        )
+    return out
+
+
+class DistributedTiledGraph:
+    """SGT-tiled graph partitioned over a ('graph', 'feature') mesh.
+
+    Inputs/outputs of the ops are *globally shaped* jax.Arrays:
+      * node features: ``[padded_nodes, D]``, sharded ``P('graph','feature')``
+        (use :meth:`shard_features`);
+      * per-edge vectors: ``[padded_edges]``, sharded ``P('graph')``.
+    """
+
+    def __init__(
+        self,
+        row_pointers: np.ndarray,
+        column_index: np.ndarray,
+        num_nodes: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
+        config: TileConfig = DEFAULT_CONFIG,
+        interpret: Optional[bool] = None,
+        d_tile: int = 128,
+    ):
+        if mesh is None:
+            from tcgnn_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        assert set(mesh.axis_names) == {"graph", "feature"}, mesh.axis_names
+        row_pointers = np.asarray(row_pointers)
+        column_index = np.asarray(column_index)
+        if num_nodes is None:
+            num_nodes = len(row_pointers) - 1
+        self.mesh = mesh
+        self.pg = int(mesh.shape["graph"])
+        self.pf = int(mesh.shape["feature"])
+        self.config = config
+        self.num_nodes = int(num_nodes)
+        self.num_edges = int(len(column_index))
+        self.d_tile = d_tile
+        self.interpret = default_interpret() if interpret is None else interpret
+
+        fwd, bwd = partition_graph(
+            row_pointers, column_index, self.num_nodes, self.pg, config
+        )
+        self.host_fwd, self.host_bwd = fwd, bwd
+        self.padded_nodes = fwd.padded_nodes
+        self.padded_edges = fwd.padded_edges
+        self.edge_capacity = fwd.edge_capacity
+        self._fwd = _meta_to_device(fwd, mesh, with_fwd_slot=False)
+        self._bwd = _meta_to_device(bwd, mesh, with_fwd_slot=True)
+
+        self._node_sh = NamedSharding(mesh, P("graph", "feature"))
+        self._edge_sh = NamedSharding(mesh, P("graph"))
+        self._build_ops()
+
+    # --- statistics (reference's preprocess printout, TCGNN.cpp:225) -------
+    @property
+    def tc_blocks(self) -> int:
+        return self.host_fwd.num_real_blocks
+
+    @property
+    def exp_edges(self) -> int:
+        return self.host_fwd.num_real_blocks * self.config.blk_h * self.config.blk_w
+
+    # --- input placement ----------------------------------------------------
+    def shard_features(self, x) -> jnp.ndarray:
+        """Pad [N, D] node features to the mesh grid and place them sharded."""
+        x = jnp.asarray(x)
+        n, d = x.shape
+        d_pad = _round_up(max(d, 1), self.d_tile * self.pf)
+        x = jnp.pad(x, ((0, self.padded_nodes - n), (0, d_pad - d)))
+        return jax.device_put(x, self._node_sh)
+
+    def shard_nodes(self, v) -> jnp.ndarray:
+        """Pad a per-node vector (labels, masks) to padded_nodes, sharded."""
+        v = jnp.asarray(v)
+        v = jnp.pad(v, [(0, self.padded_nodes - v.shape[0])] + [(0, 0)] * (v.ndim - 1))
+        return jax.device_put(v, NamedSharding(self.mesh, P("graph")))
+
+    def valid_node_mask(self) -> jnp.ndarray:
+        mask = np.zeros(self.padded_nodes, dtype=np.float32)
+        mask[: self.num_nodes] = 1.0
+        return jax.device_put(jnp.asarray(mask), NamedSharding(self.mesh, P("graph")))
+
+    def edge_weights_to_sharded(self, w_csr) -> jnp.ndarray:
+        """Re-lay a [num_edges] CSR-ordered vector into the padded sharded
+        edge layout [padded_edges]."""
+        w_csr = np.asarray(w_csr)
+        out = np.zeros((self.pg, self.edge_capacity), dtype=w_csr.dtype)
+        es = self.host_fwd.edge_start
+        for s in range(self.pg):
+            lo, hi = int(es[s]), int(es[s + 1])
+            out[s, : hi - lo] = w_csr[lo:hi]
+        return jax.device_put(jnp.asarray(out.reshape(-1)), self._edge_sh)
+
+    def gather_edge_vector(self, v) -> np.ndarray:
+        """Sharded [padded_edges] -> host [num_edges] in CSR order."""
+        v = np.asarray(v).reshape(self.pg, self.edge_capacity)
+        es = self.host_fwd.edge_start
+        parts = [v[s, : int(es[s + 1] - es[s])] for s in range(self.pg)]
+        return np.concatenate(parts)
+
+    # --- shard_map'ed primitives ---------------------------------------------
+    def _shardmap(self, f, in_specs, out_specs):
+        return jax.shard_map(
+            f, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+    def _build_ops(self):
+        cfg = self.config
+        wd = self.host_fwd.windows_per_shard
+        interpret = self.interpret
+        d_tile = self.d_tile
+        e_cap = self.edge_capacity
+        pf = self.pf
+
+        meta_specs = tuple(P("graph") for _ in _META_FIELDS)
+        node_spec = P("graph", "feature")
+        edge_spec = P("graph")
+
+        def local_spmm(x_loc, w_loc, *meta, weighted, use_fwd_slot):
+            m = dict(zip(_META_FIELDS + (("chunk_fwd_slot",) if use_fwd_slot else ()), meta))
+            # Halo exchange: the whole sharded feature matrix rides ICI once;
+            # XLA overlaps this all-gather with independent work.
+            x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
+            if weighted:
+                if use_fwd_slot:
+                    # Weights live in *forward* edge layout; gather them all
+                    # and index through the transpose->forward slot table.
+                    w_all = jax.lax.all_gather(w_loc, "graph", axis=0, tiled=True)
+                    w_ext = jnp.concatenate([w_all, jnp.zeros((1,), w_all.dtype)])
+                    chunk_w = w_ext[m["chunk_fwd_slot"][0]]
+                else:
+                    w_ext = jnp.concatenate([w_loc, jnp.zeros((1,), w_loc.dtype)])
+                    chunk_w = w_ext[m["chunk_edge_id"][0]]
+                chunk_w = chunk_w.astype(jnp.float32)[:, None, :]
+            else:
+                chunk_w = jnp.zeros_like(m["chunk_r"][0])[:, None, :]
+            return _spmm_padded(
+                x_full,
+                m["col_ids"][0].reshape(-1),
+                m["chunk_r"][0],
+                m["chunk_c"][0],
+                chunk_w[:, 0, :],
+                m["chunk_block"][0],
+                m["chunk_window"][0],
+                m["chunk_first_in_window"][0],
+                cfg=cfg,
+                num_windows=wd,
+                weighted=weighted,
+                interpret=interpret,
+                d_tile=d_tile,
+            )
+
+        def local_sddmm(xa_loc, xb_loc, *meta):
+            m = dict(zip(_META_FIELDS, meta))
+            xb_full = jax.lax.all_gather(xb_loc, "graph", axis=0, tiled=True)
+            scores = _sddmm_padded(
+                xa_loc,
+                xb_full,
+                m["col_ids"][0].reshape(-1),
+                m["chunk_r"][0],
+                m["chunk_c"][0],
+                m["chunk_block"][0],
+                m["chunk_window"][0],
+                cfg=cfg,
+                num_windows=wd,
+                interpret=interpret,
+                d_tile=d_tile,
+            )
+            s = scores.reshape(-1)[m["edge_perm"][0]]
+            s = jnp.where(m["edge_valid"][0], s, 0.0)
+            if pf > 1:
+                s = jax.lax.psum(s, "feature")
+            return s
+
+        fwd_meta = tuple(self._fwd[k] for k in _META_FIELDS)
+        bwd_meta = tuple(self._bwd[k] for k in _META_FIELDS)
+        bwd_meta_slot = bwd_meta + (self._bwd["chunk_fwd_slot"],)
+
+        _spmm_u = self._shardmap(
+            functools.partial(local_spmm, weighted=False, use_fwd_slot=False),
+            in_specs=(node_spec, edge_spec) + meta_specs,
+            out_specs=node_spec,
+        )
+        _spmm_w = self._shardmap(
+            functools.partial(local_spmm, weighted=True, use_fwd_slot=False),
+            in_specs=(node_spec, edge_spec) + meta_specs,
+            out_specs=node_spec,
+        )
+        _spmm_w_t = self._shardmap(
+            functools.partial(local_spmm, weighted=True, use_fwd_slot=True),
+            in_specs=(node_spec, edge_spec) + meta_specs + (P("graph"),),
+            out_specs=node_spec,
+        )
+        _sddmm = self._shardmap(
+            local_sddmm,
+            in_specs=(node_spec, node_spec) + meta_specs,
+            out_specs=edge_spec,
+        )
+
+        zero_w = jax.device_put(
+            jnp.zeros(self.padded_edges, jnp.float32), self._edge_sh
+        )
+
+        d_quantum = d_tile * pf
+
+        def pad_d(x):
+            """Pad the feature dim to a multiple of d_tile per feature shard
+            (the single-device wrappers pad the same way, spmm.py:229-231)."""
+            d = x.shape[1]
+            d_pad = _round_up(max(d, 1), d_quantum)
+            if d_pad != d:
+                x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+            return x
+
+        # ---- public custom_vjp ops (mirror TiledGraph._build_ops) ----------
+        @jax.custom_vjp
+        def spmm(x):
+            return _spmm_u(pad_d(x), zero_w, *fwd_meta)[:, : x.shape[1]]
+
+        def spmm_fwd(x):
+            return spmm(x), None
+
+        def spmm_bwd(_, dy):
+            return (_spmm_u(pad_d(dy), zero_w, *bwd_meta)[:, : dy.shape[1]],)
+
+        spmm.defvjp(spmm_fwd, spmm_bwd)
+        self.spmm = spmm
+
+        @jax.custom_vjp
+        def spmm_weighted(x, w):
+            return _spmm_w(pad_d(x), w, *fwd_meta)[:, : x.shape[1]]
+
+        def spmm_weighted_fwd(x, w):
+            return spmm_weighted(x, w), (x, w)
+
+        def spmm_weighted_bwd(res, dy):
+            x, w = res
+            dx = _spmm_w_t(pad_d(dy), w, *bwd_meta_slot)[:, : x.shape[1]]
+            dw = _sddmm(pad_d(dy), pad_d(x), *fwd_meta)
+            return dx, dw
+
+        spmm_weighted.defvjp(spmm_weighted_fwd, spmm_weighted_bwd)
+        self.spmm_weighted = spmm_weighted
+
+        @jax.custom_vjp
+        def sddmm(x):
+            xp = pad_d(x)
+            return _sddmm(xp, xp, *fwd_meta)
+
+        def sddmm_fwd(x):
+            return sddmm(x), x
+
+        def sddmm_bwd(x, de):
+            xp = pad_d(x)
+            d_rows = _spmm_w(xp, de, *fwd_meta)[:, : x.shape[1]]
+            d_cols = _spmm_w_t(xp, de, *bwd_meta_slot)[:, : x.shape[1]]
+            return (d_rows + d_cols,)
+
+        sddmm.defvjp(sddmm_fwd, sddmm_bwd)
+        self.sddmm = sddmm
+
+
+def distributed_graph_from_dataset(
+    ds, mesh=None, config: TileConfig = DEFAULT_CONFIG, **kw
+) -> DistributedTiledGraph:
+    return DistributedTiledGraph(
+        ds.row_pointers, ds.column_index, ds.num_nodes, mesh, config, **kw
+    )

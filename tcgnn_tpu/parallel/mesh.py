@@ -1,0 +1,36 @@
+"""Device-mesh helpers for the distributed layer.
+
+Axes:
+  * ``graph``   — row-window-aligned node/edge partitioning (the data-parallel
+    axis for full-graph GNN training; each device owns a contiguous window
+    range, see :mod:`tcgnn_tpu.parallel.partition`).
+  * ``feature`` — embedding-dimension sharding (tensor-parallel axis; the TPU
+    generalization of the reference's per-warp dim-tile split,
+    ``/root/reference/TCGNN_conv/TCGNN_kernel.cu:355``).
+
+The reference is strictly single-GPU (SURVEY.md §2.3); this layer is the
+additive distributed scope.  On a real pod slice, lay ``graph`` along ICI so
+the halo all-gathers ride the torus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(n_graph: int | None = None, n_feature: int = 1, devices=None) -> Mesh:
+    """Build a ('graph', 'feature') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_graph is None:
+        n_graph = max(len(devices) // n_feature, 1)
+    n = n_graph * n_feature
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {n_graph}x{n_feature} needs {n} devices, have {len(devices)}"
+        )
+    dev = np.asarray(devices[:n]).reshape(n_graph, n_feature)
+    return Mesh(dev, ("graph", "feature"))

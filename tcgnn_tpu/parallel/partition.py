@@ -1,0 +1,240 @@
+"""Row-window-aligned graph partitioning for multi-chip training.
+
+The reference has no distributed support of any kind (single GPU, one
+process — see SURVEY.md §2.3); its only parallelism is intra-kernel:
+row-window -> thread block (``/root/reference/TCGNN_kernel.cu:348``).  This
+module generalizes exactly that decomposition across a TPU mesh: the
+*row window* (``blk_h`` output rows) stays the atomic unit of work, and a
+device shard owns a contiguous range of windows.
+
+Because SGT's sort+dedup is strictly per-window (``TCGNN.cpp:199-224``),
+window-aligned partitioning is *semantics-preserving*: each shard's local
+tiling is bit-identical to the corresponding slice of a single-device
+tiling.  Per-shard metadata is padded to common shapes and stacked with a
+leading ``[num_shards, ...]`` axis so it can be laid out with
+``NamedSharding(mesh, P('graph'))`` — every device holds exactly its own
+slab and Pallas sees perfectly static local shapes.
+
+Edge sharding falls out for free: a shard's rows are a contiguous CSR row
+range, so its edges are the contiguous slice
+``[row_pointers[r0], row_pointers[r1])`` — per-edge vectors (SDDMM scores,
+attention weights) live as ``[num_shards * edge_capacity]`` arrays sharded
+on the same axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
+from tcgnn_tpu.sgt.translate import SGTMeta, sparse_graph_translate, transpose_csr
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@dataclasses.dataclass
+class ShardedSGTMeta:
+    """Stacked per-shard SGT metadata (host NumPy).
+
+    Shapes: G = num_shards, Cn = chunk capacity (max over shards), EC =
+    edge_chunk, Bw = block capacity * blk_w, Emax = edge capacity.
+
+    ``chunk_edge_id`` holds *local* edge ids in ``[0, Emax)`` with sentinel
+    ``Emax`` for padding slots; ``chunk_fwd_slot`` (transpose metadata only)
+    holds *global padded-layout* forward-edge slots ``shard * Emax + local``
+    with sentinel ``G * Emax`` — the index space of an all-gathered edge
+    vector.
+    """
+
+    config: TileConfig
+    num_shards: int
+    num_nodes: int          # real nodes N
+    num_edges: int          # real edges E
+    rows_per_shard: int     # Wd * blk_h
+    windows_per_shard: int  # Wd
+    edge_capacity: int      # Emax
+    num_real_blocks: int    # summed over shards == single-device TC_Blocks
+
+    edge_start: np.ndarray        # [G+1] int64, global CSR edge offsets per shard
+    col_ids: np.ndarray           # [G, Bw] int32
+    chunk_r: np.ndarray           # [G, Cn, EC] int32
+    chunk_c: np.ndarray           # [G, Cn, EC] int32
+    chunk_edge_id: np.ndarray     # [G, Cn, EC] int32 (local ids, sentinel Emax)
+    chunk_block: np.ndarray       # [G, Cn] int32
+    chunk_window: np.ndarray      # [G, Cn] int32 (local window)
+    chunk_first_in_window: np.ndarray  # [G, Cn] int32
+    edge_perm: np.ndarray         # [G, Emax] int32 -> chunk slot of local edge
+    edge_valid: np.ndarray        # [G, Emax] bool (real edge slots)
+    chunk_fwd_slot: Optional[np.ndarray] = None  # [G, Cn, EC] int32
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_shards * self.rows_per_shard
+
+    @property
+    def padded_edges(self) -> int:
+        return self.num_shards * self.edge_capacity
+
+
+def _pad_axis0(a: np.ndarray, target: int, fill) -> np.ndarray:
+    if a.shape[0] == target:
+        return a
+    pad = np.full((target - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _stack_shards(
+    metas: list[SGTMeta],
+    edge_start: np.ndarray,
+    num_nodes: int,
+    num_edges: int,
+    rows_per_shard: int,
+    config: TileConfig,
+    edge_capacity: Optional[int] = None,
+) -> ShardedSGTMeta:
+    G = len(metas)
+    blk_w, ec = config.blk_w, config.edge_chunk
+    cn_max = max(m.num_chunks for m in metas)
+    b_max = max(m.num_blocks for m in metas)
+    counts = np.diff(edge_start)
+    e_max = int(edge_capacity if edge_capacity is not None else max(counts.max(), 1))
+
+    col_ids, chunk_r, chunk_c, chunk_eid = [], [], [], []
+    chunk_block, chunk_window, chunk_first = [], [], []
+    edge_perm, edge_valid = [], []
+    for s, m in enumerate(metas):
+        e_s = int(counts[s])
+        col_ids.append(_pad_axis0(m.col_ids, b_max * blk_w, 0))
+        # Padding chunks: all-sentinel rows -> zero one-hot -> zero
+        # contribution; they point at (window 0, block 0) which real chunk 0
+        # has already initialized (padding is appended after all real chunks).
+        chunk_r.append(_pad_axis0(m.chunk_r, cn_max, config.row_sentinel))
+        chunk_c.append(_pad_axis0(m.chunk_c, cn_max, 0))
+        eid = m.chunk_edge_id.copy()
+        eid[eid == m.num_edges] = e_max  # local pad sentinel -> Emax
+        chunk_eid.append(_pad_axis0(eid, cn_max, e_max))
+        chunk_block.append(_pad_axis0(m.chunk_block, cn_max, 0))
+        chunk_window.append(_pad_axis0(m.chunk_window, cn_max, 0))
+        chunk_first.append(_pad_axis0(m.chunk_first_in_window, cn_max, 0))
+        edge_perm.append(_pad_axis0(m.edge_perm, e_max, 0))
+        valid = np.zeros(e_max, dtype=bool)
+        valid[:e_s] = True
+        edge_valid.append(valid)
+
+    return ShardedSGTMeta(
+        config=config,
+        num_shards=G,
+        num_nodes=num_nodes,
+        num_edges=num_edges,
+        rows_per_shard=rows_per_shard,
+        windows_per_shard=rows_per_shard // config.blk_h,
+        edge_capacity=e_max,
+        num_real_blocks=sum(m.num_real_blocks for m in metas),
+        edge_start=edge_start.astype(np.int64),
+        col_ids=np.stack(col_ids),
+        chunk_r=np.stack(chunk_r),
+        chunk_c=np.stack(chunk_c),
+        chunk_edge_id=np.stack(chunk_eid),
+        chunk_block=np.stack(chunk_block),
+        chunk_window=np.stack(chunk_window),
+        chunk_first_in_window=np.stack(chunk_first),
+        edge_perm=np.stack(edge_perm),
+        edge_valid=np.stack(edge_valid),
+    )
+
+
+def partition_csr(
+    row_pointers: np.ndarray,
+    column_index: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+    config: TileConfig = DEFAULT_CONFIG,
+    edge_capacity: Optional[int] = None,
+) -> ShardedSGTMeta:
+    """Window-aligned 1-D partition of a CSR adjacency over ``num_shards``.
+
+    Each shard's rows are tiled independently with the standard SGT pass —
+    identical math to the single-device tiling because windows never cross
+    shard boundaries.
+    """
+    blk_h = config.blk_h
+    row_pointers = np.asarray(row_pointers, dtype=np.int64)
+    column_index = np.asarray(column_index, dtype=np.int64)
+    num_edges = int(column_index.shape[0])
+
+    num_windows = max(_cdiv(num_nodes, blk_h), 1)
+    wd = _cdiv(num_windows, num_shards)
+    rows_per_shard = wd * blk_h
+    n_pad = num_shards * rows_per_shard
+
+    ptr = np.concatenate(
+        [row_pointers, np.full(n_pad + 1 - len(row_pointers), row_pointers[-1], np.int64)]
+    )
+    edge_start = ptr[:: rows_per_shard].copy()  # [G+1]
+
+    metas = []
+    for s in range(num_shards):
+        r0, r1 = s * rows_per_shard, (s + 1) * rows_per_shard
+        local_ptr = ptr[r0 : r1 + 1] - ptr[r0]
+        local_cols = column_index[ptr[r0] : ptr[r1]]
+        metas.append(
+            sparse_graph_translate(local_ptr, local_cols, rows_per_shard, config)
+        )
+
+    return _stack_shards(
+        metas, edge_start, num_nodes, num_edges, rows_per_shard, config, edge_capacity
+    )
+
+
+def partition_graph(
+    row_pointers: np.ndarray,
+    column_index: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+    config: TileConfig = DEFAULT_CONFIG,
+    symmetric: bool = False,
+) -> tuple[ShardedSGTMeta, ShardedSGTMeta]:
+    """Forward + transpose sharded metadata for distributed training.
+
+    The transpose partition carries ``chunk_fwd_slot`` so per-edge weights
+    given in forward CSR order can be fetched (post all-gather) inside the
+    backward SpMM.  As in :class:`tcgnn_tpu.graph.TiledGraph`, the explicit
+    transpose keeps gradients exact on directed graphs where the reference
+    silently assumes symmetry (``TCGNN.cpp:270``).
+    """
+    fwd = partition_csr(row_pointers, column_index, num_nodes, num_shards, config)
+
+    t_ptr, t_idx, t_src = transpose_csr(
+        np.asarray(row_pointers), np.asarray(column_index), num_nodes
+    )
+    bwd = partition_csr(t_ptr, t_idx, num_nodes, num_shards, config)
+
+    # Map each transpose chunk slot -> forward padded-layout slot.
+    G, e_max_t = bwd.num_shards, bwd.edge_capacity
+    e_max_f = fwd.edge_capacity
+    sentinel = G * e_max_f
+    fwd_counts = np.diff(fwd.edge_start)
+
+    fwd_slot_of_global = np.empty(fwd.num_edges + 1, dtype=np.int64)
+    for s in range(G):
+        lo, hi = fwd.edge_start[s], fwd.edge_start[s + 1]
+        fwd_slot_of_global[lo:hi] = s * e_max_f + np.arange(hi - lo)
+    fwd_slot_of_global[fwd.num_edges] = sentinel
+
+    # local t-edge id -> global t-edge -> forward global edge -> fwd slot.
+    t_src_ext = np.concatenate([t_src.astype(np.int64), [fwd.num_edges]])
+    chunk_fwd_slot = np.empty_like(bwd.chunk_edge_id)
+    for s in range(G):
+        local = bwd.chunk_edge_id[s].astype(np.int64)  # sentinel = e_max_t
+        global_t = np.where(
+            local == e_max_t, len(t_src), bwd.edge_start[s] + local
+        )
+        chunk_fwd_slot[s] = fwd_slot_of_global[t_src_ext[global_t]].astype(np.int32)
+    bwd.chunk_fwd_slot = chunk_fwd_slot
+    del fwd_counts
+    return fwd, bwd

@@ -1,0 +1,96 @@
+"""Distributed full-graph training step over a ('graph','feature') mesh.
+
+The single-device trainer (:mod:`tcgnn_tpu.train`) mirrors the reference's
+``main_tcgnn.py``; this module is the multi-chip version the reference never
+had (SURVEY.md §2.3): node/edge-sharded features and labels, replicated
+parameters (XLA inserts the gradient all-reduce), Pallas aggregation through
+:class:`tcgnn_tpu.parallel.graph.DistributedTiledGraph`'s shard_map ops.
+
+Padding conventions:
+  * nodes are padded to ``graph.padded_nodes`` — the NLL loss is masked to
+    real nodes (the reference trains on all nodes, ``main_tcgnn.py:149``);
+  * hidden/class widths are rounded up to a multiple of the ``feature`` axis
+    size; padded logit columns are masked to -inf before log_softmax so the
+    loss is exactly the unpadded model's.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tcgnn_tpu.models import nets
+from tcgnn_tpu.parallel.graph import DistributedTiledGraph
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def init_distributed_net(
+    key,
+    kind: str,
+    in_dim: int,
+    hidden: int,
+    classes: int,
+    num_layers: int,
+    graph: DistributedTiledGraph,
+    n_heads: int = 1,
+):
+    """Init params with widths rounded up for even feature-axis sharding.
+
+    Returns (params, padded_hidden, padded_classes).
+    """
+    pf = graph.pf
+    hidden_p = _round_up(hidden, pf)
+    classes_p = _round_up(classes, pf)
+    params = nets.init_net(
+        key, kind, in_dim, hidden_p, classes_p, num_layers, n_heads=n_heads
+    )
+    return params, hidden_p, classes_p
+
+
+def make_distributed_train_step(
+    graph: DistributedTiledGraph,
+    kind: str,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    optimizer: optax.GradientTransformation,
+    dropout_rate: float = 0.5,
+    num_valid_classes: Optional[int] = None,
+):
+    """Jitted full-batch distributed step (forward, masked NLL, Adam).
+
+    ``x`` must be placed with ``graph.shard_features``; ``y`` with
+    ``graph.shard_nodes`` (int labels, padded entries arbitrary — masked).
+    """
+    mask = graph.valid_node_mask()
+    denom = jnp.asarray(float(graph.num_nodes), jnp.float32)
+
+    def loss_fn(params, key):
+        logp = nets.apply_net(
+            params,
+            kind,
+            x,
+            graph,
+            dropout_key=key,
+            dropout_rate=dropout_rate,
+            num_valid_classes=num_valid_classes,
+        )
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / denom
+
+    @jax.jit
+    def step(params, opt_state, key):
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(params, sub)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, key, loss
+
+    return step

@@ -144,6 +144,7 @@ def sparse_graph_translate(
     column_index: np.ndarray,
     num_nodes: Optional[int] = None,
     config: TileConfig = DEFAULT_CONFIG,
+    num_cols: Optional[int] = None,
 ) -> SGTMeta:
     """Run the SGT tiling pass over a CSR adjacency.
 
@@ -156,8 +157,11 @@ def sparse_graph_translate(
     Args:
       row_pointers: CSR indptr, shape [N+1], int.
       column_index: CSR indices, shape [nnz], int.
-      num_nodes: N; defaults to len(row_pointers) - 1.
+      num_nodes: N (row count); defaults to len(row_pointers) - 1.
       config: tile geometry.
+      num_cols: column-space size; defaults to num_nodes.  Distributed
+        shards tile a *rectangular* local slice (local rows x global
+        columns), so the column space can exceed the row count.
 
     Returns:
       An :class:`SGTMeta` with the uniform-chunk layout.
@@ -169,6 +173,11 @@ def sparse_graph_translate(
         num_nodes = len(row_pointers) - 1
     num_edges = int(column_index.shape[0])
     num_windows = max(_cdiv(num_nodes, blk_h), 1)
+    if num_cols is None:
+        num_cols = num_nodes
+    num_cols = max(
+        int(num_cols), int(column_index.max()) + 1 if num_edges else 1
+    )
 
     degrees = np.diff(row_pointers)
     edge_row = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
@@ -177,10 +186,10 @@ def sparse_graph_translate(
     # ---- condensed-column ranking (the sort+dedup of TCGNN.cpp:209-223) ---
     # Unique (window, col) pairs in sorted order; inverse gives each edge's
     # pair id, and the pair's rank within its window is its condensed column.
-    key = edge_window * np.int64(num_nodes) + column_index
+    key = edge_window * np.int64(num_cols) + column_index
     uniq_key, edge_pair = np.unique(key, return_inverse=True)
-    pair_window = (uniq_key // num_nodes).astype(np.int64)
-    pair_col = (uniq_key % num_nodes).astype(np.int64)
+    pair_window = (uniq_key // num_cols).astype(np.int64)
+    pair_col = (uniq_key % num_cols).astype(np.int64)
     uniques_per_window = np.bincount(pair_window, minlength=num_windows)
     window_pair_start = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(uniques_per_window, out=window_pair_start[1:])
