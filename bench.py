@@ -1,0 +1,84 @@
+"""Headline benchmark: GCN full-graph training epoch time vs the reference.
+
+Reproduces the reference's flagship configuration — 2-layer GCN, hidden 16,
+200 timed epochs after 10 warm-ups (``/root/reference/1_bench_gcn.py:5-7``,
+``main_tcgnn.py:166-181``) — on a pubmed-scale graph and compares the
+average epoch time against the archived RTX3090 measurement
+(``/root/reference/logs/RTX3090_GCN.csv:4`` → 2.793 ms; see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": speedup}
+(vs_baseline > 1 means faster than the reference GPU.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_MS = 2.793  # RTX3090, GCN 2L h16, pubmed (logs/RTX3090_GCN.csv:4)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tcgnn_tpu.config import TileConfig
+    from tcgnn_tpu.data import synthetic
+    from tcgnn_tpu.graph import tiled_graph_from_dataset
+    from tcgnn_tpu.models import nets
+    from tcgnn_tpu.train import make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    # pubmed scale: 19717 nodes / 88k edges / dim 500 / 3 classes
+    # (1_bench_gcn.py:12, dataset table in SURVEY.md §6).
+    ds = synthetic.synthesize("pubmed", seed=0)
+    cfg = TileConfig(compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+
+    t0 = time.perf_counter()
+    graph = tiled_graph_from_dataset(ds)
+    prep_ms = (time.perf_counter() - t0) * 1e3
+
+    x = jnp.asarray(ds.x)
+    y = jnp.asarray(ds.y.astype(np.int32))
+    params = nets.init_net(
+        jax.random.PRNGKey(0), "gcn", ds.num_features, 16, ds.num_classes, 2
+    )
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(params)
+    step = make_train_step(graph, "gcn", x, y, optimizer, dropout_rate=0.5)
+
+    key = jax.random.PRNGKey(1)
+    loss = None
+    for _ in range(10):  # warm-up (compile + cache), main_tcgnn.py:166
+        params, opt_state, key, loss = step(params, opt_state, key)
+    loss.block_until_ready()
+
+    epochs = 200 if on_tpu else 20
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    loss.block_until_ready()
+    epoch_ms = (time.perf_counter() - t0) * 1e3 / epochs
+
+    print(
+        json.dumps(
+            {
+                "metric": "gcn_pubmed_epoch_ms",
+                "value": round(epoch_ms, 4),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / epoch_ms, 3),
+                "prep_ms": round(prep_ms, 1),
+                "tc_blocks": graph.tc_blocks,
+                "backend": jax.default_backend(),
+                "final_loss": float(loss),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
