@@ -27,12 +27,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
-from tcgnn_tpu.ops.sddmm import sddmm_tc
-from tcgnn_tpu.ops.spmm import spmm_tc
+from tcgnn_tpu.ops.sddmm import sddmm_tc, sddmm_tc_dense
+from tcgnn_tpu.ops.spmm import build_a_tiles, spmm_tc, spmm_tc_dense
 from tcgnn_tpu.sgt.translate import (
+    build_a_tiles_host,
     sparse_graph_translate,
     transpose_csr,
 )
+
+# Above this many dense-tile bytes (fwd + transpose structural tiles) the
+# graph falls back to the memory-lean chunk kernels.
+DENSE_TILE_BUDGET_BYTES = 8 << 30
 
 
 class TiledGraph:
@@ -50,6 +55,7 @@ class TiledGraph:
         config: TileConfig = DEFAULT_CONFIG,
         symmetric: bool = False,
         interpret: Optional[bool] = None,
+        dense_tiles: Optional[bool] = None,
     ):
         row_pointers = np.asarray(row_pointers)
         column_index = np.asarray(column_index)
@@ -73,12 +79,31 @@ class TiledGraph:
         t_ptr, t_idx, t_src = transpose_csr(row_pointers, column_index, num_nodes)
         self._t_edge_src = jnp.asarray(t_src)
         if symmetric:
+            self.host_meta_t = host_meta
             self.meta_t = self.meta
         else:
-            self.meta_t = sparse_graph_translate(t_ptr, t_idx, num_nodes, config).as_jax()
+            self.host_meta_t = sparse_graph_translate(t_ptr, t_idx, num_nodes, config)
+            self.meta_t = self.host_meta_t.as_jax()
 
         self.row_pointers = jnp.asarray(row_pointers.astype(np.int32))
         self.column_index = jnp.asarray(column_index.astype(np.int32))
+
+        # Dense-tile fast path: materialize the SGT-condensed A-tiles as
+        # dense [B, blk_h, blk_w] blocks (exactly the format whose footprint
+        # the reference reports as `Exp_Edges`, TCGNN.cpp:225) so SpMM/SDDMM
+        # are pure block matmuls.  Auto-off when it would blow the budget or
+        # the flat index space overflows int32.
+        tile_elems = config.blk_h * config.blk_w
+        dense_bytes = (self.meta.num_blocks + self.meta_t.num_blocks) * tile_elems * 4
+        if dense_tiles is None:
+            dense_tiles = (
+                self.meta.edge_pos is not None
+                and self.meta_t.edge_pos is not None
+                and dense_bytes <= DENSE_TILE_BUDGET_BYTES
+            )
+        elif dense_tiles and (self.meta.edge_pos is None or self.meta_t.edge_pos is None):
+            raise ValueError("dense-tile index space overflows int32 for this graph")
+        self.dense_tiles = dense_tiles
 
         self._build_ops()
 
@@ -94,30 +119,76 @@ class TiledGraph:
     def _build_ops(self):
         meta, meta_t = self.meta, self.meta_t
         interpret = self.interpret
-
-        # ---- unweighted SpMM (TCGNN.forward / backward) -------------------
-        @jax.custom_vjp
-        def spmm(x):
-            return spmm_tc(x, meta, interpret=interpret)
-
-        def spmm_fwd(x):
-            return spmm(x), None
-
-        def spmm_bwd(_, dy):
-            return (spmm_tc(dy, meta_t, interpret=interpret),)
-
-        spmm.defvjp(spmm_fwd, spmm_bwd)
-        self.spmm = spmm
-
-        # ---- weighted SpMM (TCGNN.forward_AGNN) ---------------------------
         t_edge_src = self._t_edge_src
 
         def to_t(w):
             return w[t_edge_src]
 
+        if self.dense_tiles:
+            tile_dtype = self.config.compute_dtype
+            # Structural tiles are static: build on host (cheap bincount),
+            # ship to HBM once — keeps "Prep." free of XLA scatter compiles.
+            a_struct = jnp.asarray(build_a_tiles_host(self.host_meta)).astype(tile_dtype)
+            a_struct_t = (
+                a_struct
+                if self.symmetric
+                else jnp.asarray(build_a_tiles_host(self.host_meta_t)).astype(tile_dtype)
+            )
+
+            def spmm_f(x):
+                return spmm_tc_dense(x, meta, a_struct, interpret=interpret)
+
+            def spmm_b(dy):
+                return spmm_tc_dense(dy, meta_t, a_struct_t, interpret=interpret)
+
+            def spmm_w_f(x, w):
+                return spmm_tc_dense(
+                    x, meta, build_a_tiles(meta, w), interpret=interpret
+                )
+
+            def spmm_w_b(dy, w):
+                return spmm_tc_dense(
+                    dy, meta_t, build_a_tiles(meta_t, to_t(w)), interpret=interpret
+                )
+
+            def sddmm_f(xa, xb):
+                return sddmm_tc_dense(xa, meta, xb, interpret=interpret)
+
+        else:
+
+            def spmm_f(x):
+                return spmm_tc(x, meta, interpret=interpret)
+
+            def spmm_b(dy):
+                return spmm_tc(dy, meta_t, interpret=interpret)
+
+            def spmm_w_f(x, w):
+                return spmm_tc(x, meta, edge_weights=w, interpret=interpret)
+
+            def spmm_w_b(dy, w):
+                return spmm_tc(dy, meta_t, edge_weights=to_t(w), interpret=interpret)
+
+            def sddmm_f(xa, xb):
+                return sddmm_tc(xa, meta, xb, interpret=interpret)
+
+        # ---- unweighted SpMM (TCGNN.forward / backward) -------------------
+        @jax.custom_vjp
+        def spmm(x):
+            return spmm_f(x)
+
+        def spmm_fwd(x):
+            return spmm(x), None
+
+        def spmm_bwd(_, dy):
+            return (spmm_b(dy),)
+
+        spmm.defvjp(spmm_fwd, spmm_bwd)
+        self.spmm = spmm
+
+        # ---- weighted SpMM (TCGNN.forward_AGNN) ---------------------------
         @jax.custom_vjp
         def spmm_weighted(x, w):
-            return spmm_tc(x, meta, edge_weights=w, interpret=interpret)
+            return spmm_w_f(x, w)
 
         def spmm_weighted_fwd(x, w):
             return spmm_weighted(x, w), (x, w)
@@ -125,9 +196,9 @@ class TiledGraph:
         def spmm_weighted_bwd(res, dy):
             x, w = res
             # dx[j] = sum_{e=(i->j)} w_e dy[i]  ==  (A w)^T @ dy
-            dx = spmm_tc(dy, meta_t, edge_weights=to_t(w), interpret=interpret)
+            dx = spmm_w_b(dy, w)
             # dw_e = <dy[row_e], x[col_e]>  ==  SDDMM(dy, x)
-            dw = sddmm_tc(dy, meta, x, interpret=interpret)
+            dw = sddmm_f(dy, x)
             return dx, dw
 
         spmm_weighted.defvjp(spmm_weighted_fwd, spmm_weighted_bwd)
@@ -136,7 +207,7 @@ class TiledGraph:
         # ---- SDDMM (TCGNN.forward_ef / backward_ef) ------------------------
         @jax.custom_vjp
         def sddmm(x):
-            return sddmm_tc(x, meta, interpret=interpret)
+            return sddmm_f(x, x)
 
         def sddmm_fwd(x):
             return sddmm(x), x
@@ -145,8 +216,8 @@ class TiledGraph:
             # e_k = <x[row_k], x[col_k]>:
             #   dx via rows:  dx[i] += sum_{e row=i} de_e * x[col_e]
             #   dx via cols:  dx[j] += sum_{e col=j} de_e * x[row_e]
-            d_rows = spmm_tc(x, meta, edge_weights=de, interpret=interpret)
-            d_cols = spmm_tc(x, meta_t, edge_weights=to_t(de), interpret=interpret)
+            d_rows = spmm_w_f(x, de)
+            d_cols = spmm_w_b(x, de)
             return (d_rows + d_cols,)
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)

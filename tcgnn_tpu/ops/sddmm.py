@@ -163,6 +163,114 @@ def _sddmm_padded(
     )
 
 
+# ---------------------------------------------------------------------------
+# Dense-tile path: score tiles S_b = Xa[window(b)] @ Xg[b]^T computed as one
+# MXU matmul per (block, d-tile); per-edge scores gathered straight out of
+# the flat score tiles via meta.edge_pos (the GPU scatter epilogue,
+# TCGNN_kernel.cu:719-726, as a single XLA gather).
+# ---------------------------------------------------------------------------
+def _sddmm_dense_kernel(win_ref, xa_ref, xg_ref, o_ref, *, compute_dtype):
+    d = pl.program_id(1)
+    s = jax.lax.dot_general(
+        xa_ref[:].astype(compute_dtype),
+        xg_ref[:].astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
+    )  # [blk_h, blk_w]
+
+    @pl.when(d == 0)
+    def _():
+        o_ref[0] = s
+
+    @pl.when(d != 0)
+    def _():
+        o_ref[0] += s
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_windows", "interpret", "d_tile")
+)
+def _sddmm_dense_padded(
+    xa: jnp.ndarray,
+    xb: jnp.ndarray,
+    col_ids: jnp.ndarray,
+    block_window: jnp.ndarray,
+    *,
+    cfg: TileConfig,
+    num_windows: int,
+    interpret: bool,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Returns flat score tiles [B, blk_h, blk_w] f32."""
+    n_blocks = block_window.shape[0]
+    d_pad = xa.shape[1]
+    assert d_pad % d_tile == 0
+    n_dtiles = d_pad // d_tile
+
+    xa_pad = jnp.pad(xa, ((0, num_windows * cfg.blk_h - xa.shape[0]), (0, 0)))
+    xg = jnp.take(xb, col_ids, axis=0, fill_value=0)
+
+    kernel = functools.partial(_sddmm_dense_kernel, compute_dtype=cfg.compute_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, n_dtiles),
+        in_specs=[
+            pl.BlockSpec((cfg.blk_h, d_tile), lambda b, d, win: (win[b], d)),
+            pl.BlockSpec((cfg.blk_w, d_tile), lambda b, d, win: (b, d)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cfg.blk_h, cfg.blk_w), lambda b, d, win: (b, 0, 0)
+        ),
+    )
+    flops = 2 * n_dtiles * n_blocks * cfg.blk_h * cfg.blk_w * d_tile
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks, cfg.blk_h, cfg.blk_w), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(xg.size + xa_pad.size) * 4
+            + n_blocks * cfg.blk_h * cfg.blk_w * 4,
+            transcendentals=0,
+        ),
+    )(block_window, xa_pad, xg)
+
+
+def sddmm_tc_dense(
+    xa: jnp.ndarray,
+    meta: JaxSGTMeta,
+    xb: jnp.ndarray | None = None,
+    *,
+    interpret: bool | None = None,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Dense-tile SDDMM: per-edge ``e = <xa[row_e], xb[col_e]>`` (CSR order)."""
+    if interpret is None:
+        interpret = default_interpret()
+    if xb is None:
+        xb = xa
+    n, d = xa.shape
+    d_pad = _round_up(max(d, 1), d_tile)
+    if d_pad != d:
+        xa = jnp.pad(xa, ((0, 0), (0, d_pad - d)))
+        xb = jnp.pad(xb, ((0, 0), (0, d_pad - d)))
+    tiles = _sddmm_dense_padded(
+        xa,
+        xb,
+        meta.col_ids,
+        meta.block_window,
+        cfg=meta.config,
+        num_windows=meta.num_windows,
+        interpret=interpret,
+        d_tile=d_tile,
+    )
+    return tiles.reshape(-1)[meta.edge_pos]
+
+
 def sddmm_tc(
     xa: jnp.ndarray,
     meta: JaxSGTMeta,

@@ -201,6 +201,134 @@ def _spmm_padded(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Dense-tile path: SGT's condensed A-tiles materialized as dense
+# [B, blk_h, blk_w] blocks (the `Exp_Edges` format the reference counts,
+# TCGNN.cpp:225) consumed by a pure block-matmul kernel — one MXU op per TC
+# block, no per-call one-hot building.  This is the fast path; the chunk
+# kernels above remain as the memory-lean fallback for graphs whose dense
+# index space exceeds int32 / HBM.
+# ---------------------------------------------------------------------------
+def build_a_tiles(
+    meta: JaxSGTMeta,
+    edge_weights: jnp.ndarray | None = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Materialize dense A-tiles [B, blk_h, blk_w] from SGT edge positions.
+
+    Unweighted tiles are static per graph (built once at preprocessing);
+    weighted tiles are a single XLA scatter-add per call (duplicate CSR
+    edges sum, matching the chunk kernels' one-hot accumulation).
+    """
+    cfg = meta.config
+    size = meta.num_blocks * cfg.blk_h * cfg.blk_w
+    vals = (
+        jnp.ones((meta.num_edges,), dtype)
+        if edge_weights is None
+        else edge_weights.astype(dtype)
+    )
+    flat = jnp.zeros((size,), dtype).at[meta.edge_pos].add(vals)
+    return flat.reshape(meta.num_blocks, cfg.blk_h, cfg.blk_w)
+
+
+def _spmm_dense_kernel(win_ref, first_ref, a_ref, xg_ref, o_ref, *, compute_dtype):
+    b = pl.program_id(1)
+    contrib = jnp.dot(
+        a_ref[0].astype(compute_dtype),
+        xg_ref[:].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
+    )
+
+    @pl.when(first_ref[b] == 1)
+    def _():
+        o_ref[:] = contrib
+
+    @pl.when(first_ref[b] == 0)
+    def _():
+        o_ref[:] += contrib
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_windows", "interpret", "d_tile")
+)
+def _spmm_dense_padded(
+    x: jnp.ndarray,
+    a_tiles: jnp.ndarray,
+    col_ids: jnp.ndarray,
+    block_window: jnp.ndarray,
+    block_first: jnp.ndarray,
+    *,
+    cfg: TileConfig,
+    num_windows: int,
+    interpret: bool,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Block-dense SpMM on D-padded input; [num_windows * blk_h, Dpad] f32."""
+    n_blocks = a_tiles.shape[0]
+    d_pad = x.shape[1]
+    assert d_pad % d_tile == 0
+    n_dtiles = d_pad // d_tile
+
+    xg = jnp.take(x, col_ids, axis=0, fill_value=0)  # [B*blk_w, Dpad]
+
+    kernel = functools.partial(_spmm_dense_kernel, compute_dtype=cfg.compute_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_dtiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, cfg.blk_h, cfg.blk_w), lambda d, b, win, first: (b, 0, 0)),
+            pl.BlockSpec((cfg.blk_w, d_tile), lambda d, b, win, first: (b, d)),
+        ],
+        out_specs=pl.BlockSpec(
+            (cfg.blk_h, d_tile), lambda d, b, win, first: (win[b], d)
+        ),
+    )
+    flops = 2 * n_dtiles * n_blocks * cfg.blk_h * cfg.blk_w * d_tile
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_windows * cfg.blk_h, d_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=xg.size * 4
+            + a_tiles.size * a_tiles.dtype.itemsize
+            + num_windows * cfg.blk_h * d_pad * 4,
+            transcendentals=0,
+        ),
+    )(block_window, block_first, a_tiles, xg)
+
+
+def spmm_tc_dense(
+    x: jnp.ndarray,
+    meta: JaxSGTMeta,
+    a_tiles: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Tensor-core SpMM via pre-materialized dense A-tiles: ``out = A @ x``."""
+    if interpret is None:
+        interpret = default_interpret()
+    n, d = x.shape
+    d_pad = _round_up(max(d, 1), d_tile)
+    if d_pad != d:
+        x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    out = _spmm_dense_padded(
+        x,
+        a_tiles,
+        meta.col_ids,
+        meta.block_window,
+        meta.block_first_in_window,
+        cfg=meta.config,
+        num_windows=meta.num_windows,
+        interpret=interpret,
+        d_tile=d_tile,
+    )
+    return out[:n, :d]
+
+
 def spmm_tc(
     x: jnp.ndarray,
     meta: JaxSGTMeta,

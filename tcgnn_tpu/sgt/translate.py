@@ -63,6 +63,12 @@ class SGTMeta:
     # TPU analogue of the GPU's per-block `sparse_AToX_index` gather table
     # (TCGNN_kernel.cu:406).
     col_ids: np.ndarray  # [B * blk_w] int32
+    # Owning row window of each block, and whether the block is its window's
+    # first — drive the dense-tile kernels' output index map / accumulator
+    # init (the analogue of the WMMA accumulator's fill/store epilogue,
+    # TCGNN_kernel.cu:372,453).
+    block_window: np.ndarray  # [B] int32
+    block_first_in_window: np.ndarray  # [B] int32 (0/1)
 
     # --- per-chunk --------------------------------------------------------
     chunk_r: np.ndarray  # [Cn, EC] int32, row-in-window; blk_h = pad sentinel
@@ -77,6 +83,10 @@ class SGTMeta:
     # Flat chunk-layout slot of each CSR edge (chunk * EC + lane): gathers
     # chunk-ordered per-edge results (e.g. SDDMM scores) back to CSR order.
     edge_perm: np.ndarray  # [num_edges] int32
+    # Flat dense-tile position of each CSR edge:
+    # block * blk_h * blk_w + r * blk_w + c.  Scatters edge weights into
+    # dense A-tiles and gathers SDDMM scores straight out of score tiles.
+    edge_pos: np.ndarray  # [num_edges] int64 (host; int32 on device)
 
     @property
     def num_windows(self) -> int:
@@ -99,6 +109,12 @@ class SGTMeta:
         """Device-resident view of the metadata (jnp arrays)."""
         import jax.numpy as jnp
 
+        dense_size = self.num_blocks * self.config.blk_h * self.config.blk_w
+        edge_pos32 = (
+            jnp.asarray(self.edge_pos.astype(np.int32))
+            if dense_size < 2**31
+            else None  # dense-tile path unavailable; chunk path still works
+        )
         return JaxSGTMeta(
             config=self.config,
             num_nodes=self.num_nodes,
@@ -107,6 +123,9 @@ class SGTMeta:
             num_blocks=self.num_blocks,
             num_chunks=self.num_chunks,
             col_ids=jnp.asarray(self.col_ids),
+            block_window=jnp.asarray(self.block_window),
+            block_first_in_window=jnp.asarray(self.block_first_in_window),
+            edge_pos=edge_pos32,
             chunk_r=jnp.asarray(self.chunk_r),
             chunk_c=jnp.asarray(self.chunk_c),
             chunk_edge_id=jnp.asarray(self.chunk_edge_id),
@@ -129,6 +148,9 @@ class JaxSGTMeta:
     num_blocks: int
     num_chunks: int
     col_ids: "jax.Array"
+    block_window: "jax.Array"
+    block_first_in_window: "jax.Array"
+    edge_pos: "jax.Array"  # int32, or None if the dense index space overflows
     chunk_r: "jax.Array"
     chunk_c: "jax.Array"
     chunk_edge_id: "jax.Array"
@@ -259,6 +281,15 @@ def sparse_graph_translate(
     chunk_first_in_window = np.zeros(num_chunks, dtype=np.int32)
     chunk_first_in_window[block_chunk_start[block_start[:-1]]] = 1
 
+    # ---- dense-tile metadata ------------------------------------------------
+    block_first_in_window = np.zeros(num_blocks, dtype=np.int32)
+    block_first_in_window[block_start[:-1]] = 1
+    edge_pos = (
+        edge_block * np.int64(blk_h * blk_w)
+        + edge_r.astype(np.int64) * blk_w
+        + edge_c.astype(np.int64)
+    )
+
     return SGTMeta(
         config=config,
         num_nodes=int(num_nodes),
@@ -266,6 +297,9 @@ def sparse_graph_translate(
         block_partition=blocks_per_window.astype(np.int32),
         num_real_blocks=num_real_blocks,
         col_ids=col_ids,
+        block_window=window_of_block.astype(np.int32),
+        block_first_in_window=block_first_in_window,
+        edge_pos=edge_pos,
         chunk_r=chunk_r,
         chunk_c=chunk_c,
         chunk_edge_id=chunk_edge_id,
@@ -275,6 +309,24 @@ def sparse_graph_translate(
         chunk_first_in_block=chunk_first_in_block,
         edge_perm=edge_perm,
     )
+
+
+def build_a_tiles_host(meta: SGTMeta, weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """Host-side dense A-tile materialization (f32 NumPy, bincount scatter).
+
+    Device-side building (``tcgnn_tpu.ops.spmm.build_a_tiles``) is for
+    weighted tiles inside a jitted step; structural tiles are built once at
+    preprocessing, where a bincount is much cheaper than compiling an XLA
+    scatter.
+    """
+    cfg = meta.config
+    size = meta.num_blocks * cfg.blk_h * cfg.blk_w
+    flat = np.bincount(
+        meta.edge_pos,
+        weights=None if weights is None else weights.astype(np.float64),
+        minlength=size,
+    ).astype(np.float32)
+    return flat.reshape(meta.num_blocks, cfg.blk_h, cfg.blk_w)
 
 
 def transpose_csr(row_pointers: np.ndarray, column_index: np.ndarray, num_nodes: int):
