@@ -55,13 +55,13 @@ def main():
     loss = None
     for _ in range(10):  # warm-up (compile + cache), main_tcgnn.py:166
         params, opt_state, key, loss = step(params, opt_state, key)
-    loss.block_until_ready()
+    float(loss)  # scalar fetch = true device sync (tunnel backends lie on block_until_ready)
 
     epochs = 200 if on_tpu else 20
     t0 = time.perf_counter()
     for _ in range(epochs):
         params, opt_state, key, loss = step(params, opt_state, key)
-    loss.block_until_ready()
+    final_loss = float(loss)  # forces the whole epoch chain before the clock stops
     epoch_ms = (time.perf_counter() - t0) * 1e3 / epochs
 
     print(
@@ -74,7 +74,7 @@ def main():
                 "prep_ms": round(prep_ms, 1),
                 "tc_blocks": graph.tc_blocks,
                 "backend": jax.default_backend(),
-                "final_loss": float(loss),
+                "final_loss": final_loss,
             }
         )
     )

@@ -36,6 +36,13 @@ class TileConfig:
     blk_w: int = 128
     edge_chunk: int = 128
     compute_dtype: jnp.dtype = jnp.float32
+    # TC blocks per dense-kernel grid step.  >1 makes each grid step DMA
+    # `block_group` consecutive tiles in one transfer, but SGT must pad every
+    # window's block count to a multiple of it — and the padding inflates the
+    # condensed-gather row count, which measures as the dominant cost on
+    # power-law graphs.  1 (no padding) benchmarks best; keep the knob for
+    # denser graphs.
+    block_group: int = 1
 
     @property
     def row_sentinel(self) -> int:

@@ -31,6 +31,7 @@ from tcgnn_tpu.ops.sddmm import sddmm_tc, sddmm_tc_dense
 from tcgnn_tpu.ops.spmm import build_a_tiles, spmm_tc, spmm_tc_dense
 from tcgnn_tpu.sgt.translate import (
     build_a_tiles_host,
+    count_blocks,
     sparse_graph_translate,
     transpose_csr,
 )
@@ -67,45 +68,75 @@ class TiledGraph:
         self.symmetric = symmetric
         self.interpret = interpret
 
-        host_meta = sparse_graph_translate(row_pointers, column_index, num_nodes, config)
-        self.host_meta = host_meta
-        self.meta = host_meta.as_jax()
-
-        # Transpose metadata: structure can be shared when the caller declares
-        # the adjacency symmetric (skipping a second tiling pass), but the
-        # per-edge permutation is always needed — edge *weights* live in CSR
-        # edge order, and aggregating along A^T needs them in transpose order
-        # even when the structure is symmetric.
+        # Transpose CSR up front: structure can be shared when the caller
+        # declares the adjacency symmetric (skipping a second tiling pass),
+        # but the per-edge permutation is always needed — edge *weights* live
+        # in CSR edge order, and aggregating along A^T needs them in
+        # transpose order even when the structure is symmetric.
         t_ptr, t_idx, t_src = transpose_csr(row_pointers, column_index, num_nodes)
         self._t_edge_src = jnp.asarray(t_src)
-        if symmetric:
-            self.host_meta_t = host_meta
-            self.meta_t = self.meta
-        else:
-            self.host_meta_t = sparse_graph_translate(t_ptr, t_idx, num_nodes, config)
-            self.meta_t = self.host_meta_t.as_jax()
-
-        self.row_pointers = jnp.asarray(row_pointers.astype(np.int32))
-        self.column_index = jnp.asarray(column_index.astype(np.int32))
 
         # Dense-tile fast path: materialize the SGT-condensed A-tiles as
         # dense [B, blk_h, blk_w] blocks (exactly the format whose footprint
         # the reference reports as `Exp_Edges`, TCGNN.cpp:225) so SpMM/SDDMM
         # are pure block matmuls.  Auto-off when it would blow the budget or
-        # the flat index space overflows int32.
+        # the flat index space overflows int32.  The cheap count pass decides
+        # before the full translation runs.
         tile_elems = config.blk_h * config.blk_w
-        dense_bytes = (self.meta.num_blocks + self.meta_t.num_blocks) * tile_elems * 4
+        nb_f = count_blocks(row_pointers, column_index, num_nodes, config)
+        nb_t = nb_f if symmetric else count_blocks(t_ptr, t_idx, num_nodes, config)
+        fits_int32 = max(nb_f, nb_t) * tile_elems < 2**31
+        dense_bytes = (nb_f + nb_t) * tile_elems * 4
         if dense_tiles is None:
-            dense_tiles = (
-                self.meta.edge_pos is not None
-                and self.meta_t.edge_pos is not None
-                and dense_bytes <= DENSE_TILE_BUDGET_BYTES
-            )
-        elif dense_tiles and (self.meta.edge_pos is None or self.meta_t.edge_pos is None):
+            dense_tiles = fits_int32 and dense_bytes <= DENSE_TILE_BUDGET_BYTES
+        elif dense_tiles and not fits_int32:
             raise ValueError("dense-tile index space overflows int32 for this graph")
         self.dense_tiles = dense_tiles
 
-        self._build_ops()
+        host_meta = sparse_graph_translate(
+            row_pointers, column_index, num_nodes, config,
+            emit_chunks=not dense_tiles, build_tiles=dense_tiles,
+        )
+        self.host_meta = host_meta
+        self.meta = host_meta.as_jax(lite=dense_tiles)
+        if symmetric:
+            self.host_meta_t = host_meta
+            self.meta_t = self.meta
+        else:
+            self.host_meta_t = sparse_graph_translate(
+                t_ptr, t_idx, num_nodes, config,
+                emit_chunks=not dense_tiles, build_tiles=dense_tiles,
+            )
+            self.meta_t = self.host_meta_t.as_jax(lite=dense_tiles)
+
+        self.row_pointers = jnp.asarray(row_pointers.astype(np.int32))
+        self.column_index = jnp.asarray(column_index.astype(np.int32))
+
+        if dense_tiles:
+            # Structural tiles are static: build on host (cheap bincount,
+            # fused into the native pass), ship to HBM once — keeps "Prep."
+            # free of XLA scatter compiles.  Values are small duplicate-edge
+            # counts, so int8 storage is exact and quarters the HBM traffic
+            # of the tile stream (the kernel upcasts to compute_dtype).
+            def to_dev(host_tiles):
+                if host_tiles.max(initial=0.0) <= 127:
+                    return jnp.asarray(host_tiles.astype(np.int8))
+                return jnp.asarray(host_tiles).astype(config.compute_dtype)
+
+            a_struct = to_dev(build_a_tiles_host(self.host_meta))
+            a_struct_t = (
+                a_struct
+                if symmetric
+                else to_dev(build_a_tiles_host(self.host_meta_t))
+            )
+        else:
+            a_struct = a_struct_t = None
+        self._device_arrays = (
+            self.meta, self.meta_t, a_struct, a_struct_t, self._t_edge_src
+        )
+
+        ops = self._make_ops(*self._device_arrays)
+        self.spmm, self.spmm_weighted, self.sddmm = ops
 
     # --- statistics (reference's preprocess printout, TCGNN.cpp:225) -------
     @property
@@ -116,24 +147,28 @@ class TiledGraph:
     def exp_edges(self) -> int:
         return self.host_meta.exp_edges
 
-    def _build_ops(self):
-        meta, meta_t = self.meta, self.meta_t
+    # --- jit-boundary plumbing ---------------------------------------------
+    def arrays(self):
+        """Device-array pytree to pass INTO a jitted step (then ``bind``).
+
+        Closing a TiledGraph's ops directly into a jitted training step
+        embeds every tile/metadata array as an HLO constant — multi-GB
+        programs that remote-compile links reject.  Pass this pytree as a
+        step argument and rebuild the ops on the traced values instead.
+        """
+        return self._device_arrays
+
+    def bind(self, device_arrays) -> "BoundGraph":
+        """Ops namespace over traced array values (inside jit)."""
+        return BoundGraph(self, self._make_ops(*device_arrays))
+
+    def _make_ops(self, meta, meta_t, a_struct, a_struct_t, t_edge_src):
         interpret = self.interpret
-        t_edge_src = self._t_edge_src
 
         def to_t(w):
             return w[t_edge_src]
 
         if self.dense_tiles:
-            tile_dtype = self.config.compute_dtype
-            # Structural tiles are static: build on host (cheap bincount),
-            # ship to HBM once — keeps "Prep." free of XLA scatter compiles.
-            a_struct = jnp.asarray(build_a_tiles_host(self.host_meta)).astype(tile_dtype)
-            a_struct_t = (
-                a_struct
-                if self.symmetric
-                else jnp.asarray(build_a_tiles_host(self.host_meta_t)).astype(tile_dtype)
-            )
 
             def spmm_f(x):
                 return spmm_tc_dense(x, meta, a_struct, interpret=interpret)
@@ -183,7 +218,6 @@ class TiledGraph:
             return (spmm_b(dy),)
 
         spmm.defvjp(spmm_fwd, spmm_bwd)
-        self.spmm = spmm
 
         # ---- weighted SpMM (TCGNN.forward_AGNN) ---------------------------
         @jax.custom_vjp
@@ -202,7 +236,6 @@ class TiledGraph:
             return dx, dw
 
         spmm_weighted.defvjp(spmm_weighted_fwd, spmm_weighted_bwd)
-        self.spmm_weighted = spmm_weighted
 
         # ---- SDDMM (TCGNN.forward_ef / backward_ef) ------------------------
         @jax.custom_vjp
@@ -221,7 +254,22 @@ class TiledGraph:
             return (d_rows + d_cols,)
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)
-        self.sddmm = sddmm
+        return spmm, spmm_weighted, sddmm
+
+
+class BoundGraph:
+    """A TiledGraph's op surface rebuilt over traced (jit-argument) arrays.
+
+    Duck-types the pieces the model layers use: ``spmm``, ``spmm_weighted``,
+    ``sddmm`` plus the shape attributes.
+    """
+
+    def __init__(self, parent: TiledGraph, ops):
+        self.spmm, self.spmm_weighted, self.sddmm = ops
+        self.num_nodes = parent.num_nodes
+        self.num_edges = parent.num_edges
+        self.config = parent.config
+        self.dense_tiles = parent.dense_tiles
 
 
 def tiled_graph_from_dataset(ds, config: TileConfig = DEFAULT_CONFIG, **kw) -> TiledGraph:

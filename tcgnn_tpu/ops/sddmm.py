@@ -169,23 +169,27 @@ def _sddmm_padded(
 # the flat score tiles via meta.edge_pos (the GPU scatter epilogue,
 # TCGNN_kernel.cu:719-726, as a single XLA gather).
 # ---------------------------------------------------------------------------
-def _sddmm_dense_kernel(win_ref, xa_ref, xg_ref, o_ref, *, compute_dtype):
+def _sddmm_grouped_kernel(
+    gwin_ref, xa_ref, xg_ref, o_ref, *, blk_h, blk_w, group, compute_dtype
+):
     d = pl.program_id(1)
-    s = jax.lax.dot_general(
-        xa_ref[:].astype(compute_dtype),
-        xg_ref[:].astype(compute_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_mxu_precision(compute_dtype),
-    )  # [blk_h, blk_w]
+    xa = xa_ref[:].astype(compute_dtype)  # [blk_h, d_blk] — the group's window
+    for k in range(group):
+        s = jax.lax.dot_general(
+            xa,
+            xg_ref[k * blk_w : (k + 1) * blk_w, :].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype),
+        )  # [blk_h, blk_w]
 
-    @pl.when(d == 0)
-    def _():
-        o_ref[0] = s
+        @pl.when(d == 0)
+        def _():
+            o_ref[k] = s
 
-    @pl.when(d != 0)
-    def _():
-        o_ref[0] += s
+        @pl.when(d != 0)
+        def _():
+            o_ref[k] += s
 
 
 @functools.partial(
@@ -202,28 +206,55 @@ def _sddmm_dense_padded(
     interpret: bool,
     d_tile: int = 128,
 ) -> jnp.ndarray:
-    """Returns flat score tiles [B, blk_h, blk_w] f32."""
+    """Returns flat score tiles [B, blk_h, blk_w] f32.
+
+    Grouped like the SpMM: each grid step owns ``block_group`` consecutive
+    blocks of ONE window (SGT pads per-window block counts), so the window's
+    feature rows ride a scalar-prefetched index map and every DMA is large.
+    d is the inner grid dim; score tiles accumulate in VMEM.
+    """
     n_blocks = block_window.shape[0]
-    d_pad = xa.shape[1]
-    assert d_pad % d_tile == 0
-    n_dtiles = d_pad // d_tile
+    d = xa.shape[1]
+    group = cfg.block_group
+    assert n_blocks % group == 0, (n_blocks, group)
+    # Narrow feature dims stay narrow (see _spmm_dense_padded).
+    if d >= d_tile:
+        d_pad, d_blk = _round_up(d, d_tile), d_tile
+    else:
+        d_pad = d_blk = _round_up(max(d, 1), 8)
+    n_dtiles = d_pad // d_blk
 
-    xa_pad = jnp.pad(xa, ((0, num_windows * cfg.blk_h - xa.shape[0]), (0, 0)))
+    if cfg.compute_dtype == jnp.bfloat16:
+        xa = xa.astype(jnp.bfloat16)
+        xb = xb.astype(jnp.bfloat16)
+    gwin = block_window[::group]
+
+    xa_pad = jnp.pad(
+        xa, ((0, num_windows * cfg.blk_h - xa.shape[0]), (0, d_pad - d))
+    )
     xg = jnp.take(xb, col_ids, axis=0, fill_value=0)
+    if d_pad != d:
+        xg = jnp.pad(xg, ((0, 0), (0, d_pad - d)))
 
-    kernel = functools.partial(_sddmm_dense_kernel, compute_dtype=cfg.compute_dtype)
+    kernel = functools.partial(
+        _sddmm_grouped_kernel,
+        blk_h=cfg.blk_h,
+        blk_w=cfg.blk_w,
+        group=group,
+        compute_dtype=cfg.compute_dtype,
+    )
+    flops = 2 * n_dtiles * n_blocks * cfg.blk_h * cfg.blk_w * d_blk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_blocks, n_dtiles),
+        grid=(n_blocks // group, n_dtiles),
         in_specs=[
-            pl.BlockSpec((cfg.blk_h, d_tile), lambda b, d, win: (win[b], d)),
-            pl.BlockSpec((cfg.blk_w, d_tile), lambda b, d, win: (b, d)),
+            pl.BlockSpec((cfg.blk_h, d_blk), lambda b, d, win: (win[b], d)),
+            pl.BlockSpec((group * cfg.blk_w, d_blk), lambda b, d, win: (b, d)),
         ],
         out_specs=pl.BlockSpec(
-            (1, cfg.blk_h, cfg.blk_w), lambda b, d, win: (b, 0, 0)
+            (group, cfg.blk_h, cfg.blk_w), lambda b, d, win: (b, 0, 0)
         ),
     )
-    flops = 2 * n_dtiles * n_blocks * cfg.blk_h * cfg.blk_w * d_tile
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -233,11 +264,11 @@ def _sddmm_dense_padded(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(xg.size + xa_pad.size) * 4
+            bytes_accessed=(xg.size + xa_pad.size) * xg.dtype.itemsize
             + n_blocks * cfg.blk_h * cfg.blk_w * 4,
             transcendentals=0,
         ),
-    )(block_window, xa_pad, xg)
+    )(gwin, xa_pad, xg)
 
 
 def sddmm_tc_dense(
@@ -253,11 +284,6 @@ def sddmm_tc_dense(
         interpret = default_interpret()
     if xb is None:
         xb = xa
-    n, d = xa.shape
-    d_pad = _round_up(max(d, 1), d_tile)
-    if d_pad != d:
-        xa = jnp.pad(xa, ((0, 0), (0, d_pad - d)))
-        xb = jnp.pad(xb, ((0, 0), (0, d_pad - d)))
     tiles = _sddmm_dense_padded(
         xa,
         xb,

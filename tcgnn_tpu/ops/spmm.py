@@ -231,22 +231,26 @@ def build_a_tiles(
     return flat.reshape(meta.num_blocks, cfg.blk_h, cfg.blk_w)
 
 
-def _spmm_dense_kernel(win_ref, first_ref, a_ref, xg_ref, o_ref, *, compute_dtype):
-    b = pl.program_id(1)
-    contrib = jnp.dot(
-        a_ref[0].astype(compute_dtype),
-        xg_ref[:].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-        precision=_mxu_precision(compute_dtype),
-    )
+def _spmm_grouped_kernel(
+    gwin_ref, gfirst_ref, a_ref, xg_ref, o_ref, *, blk_h, blk_w, group, compute_dtype
+):
+    i = pl.program_id(1)
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for k in range(group):
+        acc += jnp.dot(
+            a_ref[k].astype(compute_dtype),
+            xg_ref[k * blk_w : (k + 1) * blk_w, :].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype),
+        )
 
-    @pl.when(first_ref[b] == 1)
+    @pl.when(gfirst_ref[i] == 1)
     def _():
-        o_ref[:] = contrib
+        o_ref[:] = acc
 
-    @pl.when(first_ref[b] == 0)
+    @pl.when(gfirst_ref[i] == 0)
     def _():
-        o_ref[:] += contrib
+        o_ref[:] += acc
 
 
 @functools.partial(
@@ -264,27 +268,67 @@ def _spmm_dense_padded(
     interpret: bool,
     d_tile: int = 128,
 ) -> jnp.ndarray:
-    """Block-dense SpMM on D-padded input; [num_windows * blk_h, Dpad] f32."""
+    """Block-dense SpMM; returns [num_windows * blk_h, Dpad] f32.
+
+    Grid steps own ``block_group`` *consecutive* blocks of one window (SGT
+    pads per-window block counts to the group size) — one large DMA each for
+    the tile slab and the gathered features.  A 13k-block graph at one block
+    per step is DMA-issue-latency-bound (~1 us/step); grouping amortizes it.
+    The window's output tile accumulates in VMEM across its groups via the
+    scalar-prefetched (window, first) maps — the WMMA accumulate loop of
+    TCGNN_kernel.cu:375-448 at group granularity.
+    """
     n_blocks = a_tiles.shape[0]
-    d_pad = x.shape[1]
-    assert d_pad % d_tile == 0
-    n_dtiles = d_pad // d_tile
+    d = x.shape[1]
+    group = cfg.block_group
+    assert n_blocks % group == 0, (n_blocks, group)
+    # Narrow feature dims stay narrow: Mosaic accepts a block whose last dim
+    # equals the array dim, so a 16-wide hidden layer moves 16 lanes of HBM
+    # traffic, not a 128-lane padded stream (8x on the reference's GCN
+    # hidden=16 config).  MXU lanes idle, but the op is bandwidth-bound.
+    if d >= d_tile:
+        d_pad, d_blk = _round_up(d, d_tile), d_tile
+    else:
+        d_pad = d_blk = _round_up(max(d, 1), 8)
+    n_dtiles = d_pad // d_blk
 
-    xg = jnp.take(x, col_ids, axis=0, fill_value=0)  # [B*blk_w, Dpad]
+    # Per-group scalars: groups never straddle windows, so the group's
+    # window is its first block's, and it initializes the output tile iff
+    # its first block is the window's first.
+    gwin = block_window[::group]
+    gfirst = block_first[::group]
 
-    kernel = functools.partial(_spmm_dense_kernel, compute_dtype=cfg.compute_dtype)
+    # bf16 compute: cast *before* the gather so the random-access traffic is
+    # half-width too.
+    if cfg.compute_dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    xg = jnp.take(x, col_ids, axis=0, fill_value=0)  # [B*blk_w, d]
+    if d_pad != d:
+        xg = jnp.pad(xg, ((0, 0), (0, d_pad - d)))
+
+    kernel = functools.partial(
+        _spmm_grouped_kernel,
+        blk_h=cfg.blk_h,
+        blk_w=cfg.blk_w,
+        group=group,
+        compute_dtype=cfg.compute_dtype,
+    )
+    flops = 2 * n_dtiles * n_blocks * cfg.blk_h * cfg.blk_w * d_blk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_dtiles, n_blocks),
+        grid=(n_dtiles, n_blocks // group),
         in_specs=[
-            pl.BlockSpec((1, cfg.blk_h, cfg.blk_w), lambda d, b, win, first: (b, 0, 0)),
-            pl.BlockSpec((cfg.blk_w, d_tile), lambda d, b, win, first: (b, d)),
+            pl.BlockSpec(
+                (group, cfg.blk_h, cfg.blk_w), lambda d, b, win, first: (b, 0, 0)
+            ),
+            pl.BlockSpec(
+                (group * cfg.blk_w, d_blk), lambda d, b, win, first: (b, d)
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (cfg.blk_h, d_tile), lambda d, b, win, first: (win[b], d)
+            (cfg.blk_h, d_blk), lambda d, b, win, first: (win[b], d)
         ),
     )
-    flops = 2 * n_dtiles * n_blocks * cfg.blk_h * cfg.blk_w * d_tile
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -292,12 +336,12 @@ def _spmm_dense_padded(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=xg.size * 4
+            bytes_accessed=xg.size * xg.dtype.itemsize
             + a_tiles.size * a_tiles.dtype.itemsize
             + num_windows * cfg.blk_h * d_pad * 4,
             transcendentals=0,
         ),
-    )(block_window, block_first, a_tiles, xg)
+    )(gwin, gfirst, a_tiles, xg)
 
 
 def spmm_tc_dense(
@@ -312,9 +356,6 @@ def spmm_tc_dense(
     if interpret is None:
         interpret = default_interpret()
     n, d = x.shape
-    d_pad = _round_up(max(d, 1), d_tile)
-    if d_pad != d:
-        x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
     out = _spmm_dense_padded(
         x,
         a_tiles,

@@ -244,10 +244,6 @@ class DistributedTiledGraph:
                 s = jax.lax.psum(s, "feature")
             return s
 
-        fwd_meta = tuple(self._fwd[k] for k in _META_FIELDS)
-        bwd_meta = tuple(self._bwd[k] for k in _META_FIELDS)
-        bwd_meta_slot = bwd_meta + (self._bwd["chunk_fwd_slot"],)
-
         _spmm_u = self._shardmap(
             functools.partial(local_spmm, weighted=False, use_fwd_slot=False),
             in_specs=(node_spec, edge_spec) + meta_specs,
@@ -269,11 +265,36 @@ class DistributedTiledGraph:
             out_specs=edge_spec,
         )
 
+        self._spmm_u, self._spmm_w, self._spmm_w_t, self._sddmm_raw = (
+            _spmm_u, _spmm_w, _spmm_w_t, _sddmm,
+        )
         zero_w = jax.device_put(
             jnp.zeros(self.padded_edges, jnp.float32), self._edge_sh
         )
+        self._device_arrays = (
+            tuple(self._fwd[k] for k in _META_FIELDS),
+            tuple(self._bwd[k] for k in _META_FIELDS)
+            + (self._bwd["chunk_fwd_slot"],),
+            zero_w,
+        )
+        ops = self._make_ops(*self._device_arrays)
+        self.spmm, self.spmm_weighted, self.sddmm = ops
 
-        d_quantum = d_tile * pf
+    # --- jit-boundary plumbing ---------------------------------------------
+    def arrays(self):
+        """Device-array pytree to pass INTO a jitted step (then ``bind``) —
+        avoids embedding the sharded metadata as HLO constants."""
+        return self._device_arrays
+
+    def bind(self, device_arrays) -> "BoundDistributedGraph":
+        return BoundDistributedGraph(self, self._make_ops(*device_arrays))
+
+    def _make_ops(self, fwd_meta, bwd_meta_slot, zero_w):
+        bwd_meta = bwd_meta_slot[:-1]
+        _spmm_u, _spmm_w, _spmm_w_t, _sddmm = (
+            self._spmm_u, self._spmm_w, self._spmm_w_t, self._sddmm_raw,
+        )
+        d_quantum = self.d_tile * self.pf
 
         def pad_d(x):
             """Pad the feature dim to a multiple of d_tile per feature shard
@@ -284,7 +305,7 @@ class DistributedTiledGraph:
                 x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
             return x
 
-        # ---- public custom_vjp ops (mirror TiledGraph._build_ops) ----------
+        # ---- public custom_vjp ops (mirror TiledGraph._make_ops) ----------
         @jax.custom_vjp
         def spmm(x):
             return _spmm_u(pad_d(x), zero_w, *fwd_meta)[:, : x.shape[1]]
@@ -296,7 +317,6 @@ class DistributedTiledGraph:
             return (_spmm_u(pad_d(dy), zero_w, *bwd_meta)[:, : dy.shape[1]],)
 
         spmm.defvjp(spmm_fwd, spmm_bwd)
-        self.spmm = spmm
 
         @jax.custom_vjp
         def spmm_weighted(x, w):
@@ -312,7 +332,6 @@ class DistributedTiledGraph:
             return dx, dw
 
         spmm_weighted.defvjp(spmm_weighted_fwd, spmm_weighted_bwd)
-        self.spmm_weighted = spmm_weighted
 
         @jax.custom_vjp
         def sddmm(x):
@@ -329,7 +348,19 @@ class DistributedTiledGraph:
             return (d_rows + d_cols,)
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)
-        self.sddmm = sddmm
+        return spmm, spmm_weighted, sddmm
+
+
+class BoundDistributedGraph:
+    """A DistributedTiledGraph's op surface over traced array values."""
+
+    def __init__(self, parent: DistributedTiledGraph, ops):
+        self.spmm, self.spmm_weighted, self.sddmm = ops
+        self.num_nodes = parent.num_nodes
+        self.num_edges = parent.num_edges
+        self.padded_nodes = parent.padded_nodes
+        self.padded_edges = parent.padded_edges
+        self.config = parent.config
 
 
 def distributed_graph_from_dataset(

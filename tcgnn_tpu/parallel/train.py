@@ -71,13 +71,14 @@ def make_distributed_train_step(
     """
     mask = graph.valid_node_mask()
     denom = jnp.asarray(float(graph.num_nodes), jnp.float32)
+    garr = graph.arrays()
 
-    def loss_fn(params, key):
+    def loss_fn(params, key, x, y, mask, g):
         logp = nets.apply_net(
             params,
             kind,
             x,
-            graph,
+            g,
             dropout_key=key,
             dropout_rate=dropout_rate,
             num_valid_classes=num_valid_classes,
@@ -86,11 +87,15 @@ def make_distributed_train_step(
         return jnp.sum(nll * mask) / denom
 
     @jax.jit
-    def step(params, opt_state, key):
+    def _step(params, opt_state, key, x, y, mask, garr):
+        g = graph.bind(garr)
         key, sub = jax.random.split(key)
-        loss, grads = jax.value_and_grad(loss_fn)(params, sub)
+        loss, grads = jax.value_and_grad(loss_fn)(params, sub, x, y, mask, g)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, key, loss
+
+    def step(params, opt_state, key):
+        return _step(params, opt_state, key, x, y, mask, garr)
 
     return step

@@ -1,0 +1,106 @@
+"""ctypes loader for the native (C++/OpenMP) SGT tiling pass.
+
+Builds ``sgt.cpp`` with g++ on first use (cached in this directory); falls
+back silently to the NumPy pass if no toolchain is available.  The native
+pass mirrors the reference's C++ preprocessing role
+(``/root/reference/TCGNN_conv/TCGNN.cpp:157-226``) — host-side, OpenMP over
+row windows — with TPU-shaped outputs (see ``sgt.cpp``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "sgt.cpp")
+_LIB = os.path.join(_HERE, "libsgt.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return False
+
+
+def load():
+    """Return the loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.sgt_count.argtypes = [
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, i64p, i32p, i32p,
+        ]
+        lib.sgt_count.restype = None
+        lib.sgt_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            i64p, i32p, i64p, i32p, i64p, ctypes.c_void_p,
+        ]
+        lib.sgt_fill.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def count_blocks(row_ptr: np.ndarray, col_idx: np.ndarray, blk_h: int, blk_w: int) -> np.ndarray:
+    lib = load()
+    n_rows = len(row_ptr) - 1
+    n_windows = max(-(-n_rows // blk_h), 1)
+    out = np.zeros(n_windows, np.int32)
+    if n_rows:
+        lib.sgt_count(n_rows, blk_h, blk_w, row_ptr, col_idx, out)
+    return out
+
+
+def fill(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    block_start: np.ndarray,
+    blk_h: int,
+    blk_w: int,
+    build_tiles: bool,
+):
+    """Returns (col_ids [B*blk_w], edge_pos [E], a_tiles or None)."""
+    lib = load()
+    n_rows = len(row_ptr) - 1
+    num_blocks = int(block_start[-1])
+    col_ids = np.zeros(num_blocks * blk_w, np.int32)
+    edge_pos = np.zeros(len(col_idx), np.int64)
+    a_tiles = (
+        np.zeros(num_blocks * blk_h * blk_w, np.float32) if build_tiles else None
+    )
+    if n_rows:
+        lib.sgt_fill(
+            n_rows, blk_h, blk_w, row_ptr, col_idx, block_start, col_ids,
+            edge_pos,
+            a_tiles.ctypes.data_as(ctypes.c_void_p) if build_tiles else None,
+        )
+    return col_ids, edge_pos, a_tiles

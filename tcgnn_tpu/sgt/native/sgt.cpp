@@ -1,0 +1,91 @@
+// Native SGT tiling pass: per-row-window sort + dedup + condensed-column
+// ranking, fused with dense A-tile materialization.
+//
+// TPU-native counterpart of the reference's C++ preprocessing
+// (/root/reference/TCGNN_conv/TCGNN.cpp:157-226: per 16-row window copy
+// neighbor ids, thrust::sort, in-place dedup into a map, write
+// blockPartition/edgeToColumn/edgeToRow, OpenMP over windows).  Same math,
+// different geometry (MXU-sized windows) and different outputs: instead of
+// per-edge row/col arrays consumed by a GPU shared-memory build, we emit
+//   * col_ids   [B * blk_w]  — condensed-column -> global node gather table
+//   * edge_pos  [E]          — flat dense-tile slot of each CSR edge
+//   * a_tiles   [B*blk_h*blk_w] (optional) — structural tiles, built here so
+//     Python never rescans the edge list.
+// Windows own disjoint block ranges, so the OpenMP loop is race-free.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+extern "C" {
+
+// Pass 1: number of real TC blocks per window (ceil(unique/blk_w); 0 for
+// empty windows — Python applies the max(1) padding rule).
+void sgt_count(int64_t n_rows, int blk_h, int blk_w,
+               const int64_t* row_ptr, const int32_t* col_idx,
+               int32_t* blocks_per_window /* [ceil(n_rows/blk_h)] */) {
+  const int64_t n_windows = (n_rows + blk_h - 1) / blk_h;
+#pragma omp parallel
+  {
+    std::vector<int32_t> scratch;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t w = 0; w < n_windows; ++w) {
+      const int64_t r0 = w * blk_h;
+      const int64_t r1 = std::min(r0 + blk_h, n_rows);
+      const int64_t lo = row_ptr[r0], hi = row_ptr[r1];
+      scratch.assign(col_idx + lo, col_idx + hi);
+      std::sort(scratch.begin(), scratch.end());
+      const int64_t uniq =
+          std::unique(scratch.begin(), scratch.end()) - scratch.begin();
+      blocks_per_window[w] = (int32_t)((uniq + blk_w - 1) / blk_w);
+    }
+  }
+}
+
+// Pass 2: fill col_ids / edge_pos / (optionally) structural a_tiles.
+// block_start[w] = first global block of window w (Python cumsum with the
+// empty-window padding applied); col_ids and a_tiles must be zeroed.
+void sgt_fill(int64_t n_rows, int blk_h, int blk_w,
+              const int64_t* row_ptr, const int32_t* col_idx,
+              const int64_t* block_start /* [n_windows+1] */,
+              int32_t* col_ids /* [B*blk_w] */,
+              int64_t* edge_pos /* [nnz] */,
+              float* a_tiles /* [B*blk_h*blk_w] or nullptr */) {
+  const int64_t n_windows = (n_rows + blk_h - 1) / blk_h;
+  const int64_t tile = (int64_t)blk_h * blk_w;
+#pragma omp parallel
+  {
+    std::vector<int32_t> uniq;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t w = 0; w < n_windows; ++w) {
+      const int64_t r0 = w * blk_h;
+      const int64_t r1 = std::min(r0 + blk_h, n_rows);
+      const int64_t lo = row_ptr[r0], hi = row_ptr[r1];
+      uniq.assign(col_idx + lo, col_idx + hi);
+      std::sort(uniq.begin(), uniq.end());
+      uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+
+      const int64_t b0 = block_start[w];
+      for (size_t k = 0; k < uniq.size(); ++k)
+        col_ids[(b0 + (int64_t)k / blk_w) * blk_w + (int64_t)(k % blk_w)] =
+            uniq[k];
+
+      for (int64_t r = r0; r < r1; ++r) {
+        for (int64_t e = row_ptr[r]; e < row_ptr[r + 1]; ++e) {
+          const int64_t rank =
+              std::lower_bound(uniq.begin(), uniq.end(), col_idx[e]) -
+              uniq.begin();
+          const int64_t blk = b0 + rank / blk_w;
+          const int64_t pos =
+              blk * tile + (r - r0) * (int64_t)blk_w + rank % blk_w;
+          edge_pos[e] = pos;
+          if (a_tiles) a_tiles[pos] += 1.0f;
+        }
+      }
+    }
+  }
+}
+
+}  // extern "C"

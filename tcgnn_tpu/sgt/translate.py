@@ -36,6 +36,22 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _pad_blocks(real_blocks_per_window: np.ndarray, config: TileConfig) -> np.ndarray:
+    """Blocks per window, padded for the kernels.
+
+    Empty windows get padding blocks so every output row tile is written
+    (Pallas leaves unvisited output blocks undefined), and counts round up
+    to ``config.block_group`` so a dense-kernel grid step (one group of
+    consecutive blocks, single large DMAs) never straddles a window
+    boundary.  Padding blocks have all-zero tiles and padding columns 0, so
+    they contribute nothing.
+    """
+    g = max(int(config.block_group), 1)
+    return (_cdiv(np.maximum(real_blocks_per_window, 1), g) * g).astype(
+        real_blocks_per_window.dtype
+    )
+
+
 @dataclasses.dataclass
 class SGTMeta:
     """Tiling metadata produced by :func:`sparse_graph_translate`.
@@ -70,23 +86,26 @@ class SGTMeta:
     block_window: np.ndarray  # [B] int32
     block_first_in_window: np.ndarray  # [B] int32 (0/1)
 
-    # --- per-chunk --------------------------------------------------------
-    chunk_r: np.ndarray  # [Cn, EC] int32, row-in-window; blk_h = pad sentinel
-    chunk_c: np.ndarray  # [Cn, EC] int32, col-in-block; 0 for padding
-    chunk_edge_id: np.ndarray  # [Cn, EC] int32, CSR edge id; num_edges = pad
-    chunk_block: np.ndarray  # [Cn] int32, owning global block
-    chunk_window: np.ndarray  # [Cn] int32, owning row window
-    chunk_first_in_window: np.ndarray  # [Cn] int32 (0/1)
-    chunk_first_in_block: np.ndarray  # [Cn] int32 (0/1)
-
     # --- per-edge ---------------------------------------------------------
-    # Flat chunk-layout slot of each CSR edge (chunk * EC + lane): gathers
-    # chunk-ordered per-edge results (e.g. SDDMM scores) back to CSR order.
-    edge_perm: np.ndarray  # [num_edges] int32
     # Flat dense-tile position of each CSR edge:
     # block * blk_h * blk_w + r * blk_w + c.  Scatters edge weights into
     # dense A-tiles and gathers SDDMM scores straight out of score tiles.
     edge_pos: np.ndarray  # [num_edges] int64 (host; int32 on device)
+
+    # --- fused structural tiles (build_tiles=True) -------------------------
+    a_tiles: Optional[np.ndarray] = None  # [B, blk_h, blk_w] f32
+
+    # --- per-chunk (emit_chunks=True; fallback kernel layout) --------------
+    chunk_r: Optional[np.ndarray] = None  # [Cn, EC] int32; blk_h = pad sentinel
+    chunk_c: Optional[np.ndarray] = None  # [Cn, EC] int32, col-in-block
+    chunk_edge_id: Optional[np.ndarray] = None  # [Cn, EC] int32; num_edges = pad
+    chunk_block: Optional[np.ndarray] = None  # [Cn] int32, owning global block
+    chunk_window: Optional[np.ndarray] = None  # [Cn] int32, owning row window
+    chunk_first_in_window: Optional[np.ndarray] = None  # [Cn] int32 (0/1)
+    chunk_first_in_block: Optional[np.ndarray] = None  # [Cn] int32 (0/1)
+    # Flat chunk-layout slot of each CSR edge (chunk * EC + lane): gathers
+    # chunk-ordered per-edge results (e.g. SDDMM scores) back to CSR order.
+    edge_perm: Optional[np.ndarray] = None  # [num_edges] int32
 
     @property
     def num_windows(self) -> int:
@@ -98,15 +117,19 @@ class SGTMeta:
 
     @property
     def num_chunks(self) -> int:
-        return int(self.chunk_block.shape[0])
+        return 0 if self.chunk_block is None else int(self.chunk_block.shape[0])
 
     @property
     def exp_edges(self) -> int:
         """Reference's `Exp_Edges` = TC_Blocks * blk_h * blk_w."""
         return self.num_real_blocks * self.config.blk_h * self.config.blk_w
 
-    def as_jax(self):
-        """Device-resident view of the metadata (jnp arrays)."""
+    def as_jax(self, lite: bool = False):
+        """Device-resident view of the metadata (jnp arrays).
+
+        ``lite=True`` skips the chunk-layout arrays (dense-tile path only) —
+        fewer host->device transfers, which matters on high-latency links.
+        """
         import jax.numpy as jnp
 
         dense_size = self.num_blocks * self.config.blk_h * self.config.blk_w
@@ -115,6 +138,11 @@ class SGTMeta:
             if dense_size < 2**31
             else None  # dense-tile path unavailable; chunk path still works
         )
+        skip = lite or self.chunk_block is None
+
+        def dev(a):
+            return None if (skip or a is None) else jnp.asarray(a)
+
         return JaxSGTMeta(
             config=self.config,
             num_nodes=self.num_nodes,
@@ -126,20 +154,25 @@ class SGTMeta:
             block_window=jnp.asarray(self.block_window),
             block_first_in_window=jnp.asarray(self.block_first_in_window),
             edge_pos=edge_pos32,
-            chunk_r=jnp.asarray(self.chunk_r),
-            chunk_c=jnp.asarray(self.chunk_c),
-            chunk_edge_id=jnp.asarray(self.chunk_edge_id),
-            chunk_block=jnp.asarray(self.chunk_block),
-            chunk_window=jnp.asarray(self.chunk_window),
-            chunk_first_in_window=jnp.asarray(self.chunk_first_in_window),
-            chunk_first_in_block=jnp.asarray(self.chunk_first_in_block),
-            edge_perm=jnp.asarray(self.edge_perm),
+            chunk_r=dev(self.chunk_r),
+            chunk_c=dev(self.chunk_c),
+            chunk_edge_id=dev(self.chunk_edge_id),
+            chunk_block=dev(self.chunk_block),
+            chunk_window=dev(self.chunk_window),
+            chunk_first_in_window=dev(self.chunk_first_in_window),
+            chunk_first_in_block=dev(self.chunk_first_in_block),
+            edge_perm=dev(self.edge_perm),
         )
 
 
 @dataclasses.dataclass(frozen=True)
 class JaxSGTMeta:
-    """Device-side SGT metadata pytree consumed by the Pallas kernels."""
+    """Device-side SGT metadata pytree consumed by the Pallas kernels.
+
+    Registered as a pytree so metadata can cross jit boundaries as explicit
+    *arguments* — closing device arrays into a jitted step would embed them
+    as HLO constants (fatal for multi-GB tile sets on remote-compile links).
+    """
 
     config: TileConfig
     num_nodes: int
@@ -161,12 +194,55 @@ class JaxSGTMeta:
     edge_perm: "jax.Array"
 
 
+_JAXMETA_ARRAY_FIELDS = (
+    "col_ids",
+    "block_window",
+    "block_first_in_window",
+    "edge_pos",
+    "chunk_r",
+    "chunk_c",
+    "chunk_edge_id",
+    "chunk_block",
+    "chunk_window",
+    "chunk_first_in_window",
+    "chunk_first_in_block",
+    "edge_perm",
+)
+_JAXMETA_STATIC_FIELDS = (
+    "config",
+    "num_nodes",
+    "num_edges",
+    "num_windows",
+    "num_blocks",
+    "num_chunks",
+)
+
+
+def _jaxmeta_flatten(m: JaxSGTMeta):
+    children = tuple(getattr(m, f) for f in _JAXMETA_ARRAY_FIELDS)
+    aux = tuple(getattr(m, f) for f in _JAXMETA_STATIC_FIELDS)
+    return children, aux
+
+
+def _jaxmeta_unflatten(aux, children):
+    return JaxSGTMeta(**dict(zip(_JAXMETA_STATIC_FIELDS, aux)),
+                      **dict(zip(_JAXMETA_ARRAY_FIELDS, children)))
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(JaxSGTMeta, _jaxmeta_flatten, _jaxmeta_unflatten)
+
+
 def sparse_graph_translate(
     row_pointers: np.ndarray,
     column_index: np.ndarray,
     num_nodes: Optional[int] = None,
     config: TileConfig = DEFAULT_CONFIG,
     num_cols: Optional[int] = None,
+    impl: str = "auto",
+    emit_chunks: bool = True,
+    build_tiles: bool = False,
 ) -> SGTMeta:
     """Run the SGT tiling pass over a CSR adjacency.
 
@@ -184,9 +260,15 @@ def sparse_graph_translate(
       num_cols: column-space size; defaults to num_nodes.  Distributed
         shards tile a *rectangular* local slice (local rows x global
         columns), so the column space can exceed the row count.
+      impl: "native" (C++/OpenMP pass, the reference-N1 analogue), "numpy"
+        (vectorized host pass), or "auto" (native when built).
+      emit_chunks: also lay out the uniform edge chunks for the chunk-kernel
+        fallback; the dense-tile path doesn't need them.
+      build_tiles: fuse structural dense A-tile materialization into the
+        pass (stored in ``meta.a_tiles``).
 
     Returns:
-      An :class:`SGTMeta` with the uniform-chunk layout.
+      An :class:`SGTMeta` (chunk fields None when ``emit_chunks=False``).
     """
     blk_h, blk_w, ec = config.blk_h, config.blk_w, config.edge_chunk
     row_pointers = np.asarray(row_pointers, dtype=np.int64)
@@ -201,42 +283,104 @@ def sparse_graph_translate(
         int(num_cols), int(column_index.max()) + 1 if num_edges else 1
     )
 
-    degrees = np.diff(row_pointers)
-    edge_row = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
-    edge_window = edge_row // blk_h
+    from tcgnn_tpu.sgt import native
 
-    # ---- condensed-column ranking (the sort+dedup of TCGNN.cpp:209-223) ---
-    # Unique (window, col) pairs in sorted order; inverse gives each edge's
-    # pair id, and the pair's rank within its window is its condensed column.
-    key = edge_window * np.int64(num_cols) + column_index
-    uniq_key, edge_pair = np.unique(key, return_inverse=True)
-    pair_window = (uniq_key // num_cols).astype(np.int64)
-    pair_col = (uniq_key % num_cols).astype(np.int64)
-    uniques_per_window = np.bincount(pair_window, minlength=num_windows)
-    window_pair_start = np.zeros(num_windows + 1, dtype=np.int64)
-    np.cumsum(uniques_per_window, out=window_pair_start[1:])
-    pair_rank = np.arange(len(uniq_key), dtype=np.int64) - window_pair_start[pair_window]
+    use_native = impl == "native" or (impl == "auto" and native.available())
+    tile = blk_h * blk_w
+    a_tiles = None
 
-    # ---- block partition (TCGNN.cpp:216) ----------------------------------
-    real_blocks_per_window = _cdiv(uniques_per_window, blk_w)
-    num_real_blocks = int(real_blocks_per_window.sum())
-    # Give empty windows one padding block so the kernels write every output
-    # row tile (Pallas leaves unvisited output blocks undefined).
-    blocks_per_window = np.maximum(real_blocks_per_window, 1)
-    block_start = np.zeros(num_windows + 1, dtype=np.int64)
-    np.cumsum(blocks_per_window, out=block_start[1:])
-    num_blocks = int(block_start[-1])
+    if use_native:
+        # C++/OpenMP pass (the reference-N1 analogue, TCGNN.cpp:172-226):
+        # per-window sort+dedup+rank, optionally fused with tile build.
+        col32 = np.ascontiguousarray(column_index, dtype=np.int32)
+        rp64 = np.ascontiguousarray(row_pointers, dtype=np.int64)
+        real_blocks_per_window = native.count_blocks(rp64, col32, blk_h, blk_w)
+        if len(real_blocks_per_window) < num_windows:  # empty trailing rows
+            real_blocks_per_window = np.pad(
+                real_blocks_per_window, (0, num_windows - len(real_blocks_per_window))
+            )
+        blocks_per_window = _pad_blocks(real_blocks_per_window, config)
+        block_start = np.zeros(num_windows + 1, dtype=np.int64)
+        np.cumsum(blocks_per_window, out=block_start[1:])
+        num_blocks = int(block_start[-1])
+        num_real_blocks = int(real_blocks_per_window.sum())
+        col_ids, edge_pos, a_flat = native.fill(
+            rp64, col32, block_start, blk_h, blk_w, build_tiles
+        )
+        if build_tiles:
+            a_tiles = a_flat.reshape(num_blocks, blk_h, blk_w)
+        if emit_chunks:
+            edge_block = edge_pos // tile
+            rem = edge_pos % tile
+            edge_r = (rem // blk_w).astype(np.int32)
+            edge_c = (rem % blk_w).astype(np.int32)
+    else:
+        degrees = np.diff(row_pointers)
+        edge_row = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
+        edge_window = edge_row // blk_h
 
-    # ---- per-block condensed-column gather table ---------------------------
-    pair_block = block_start[pair_window] + pair_rank // blk_w
-    col_ids = np.zeros(num_blocks * blk_w, dtype=np.int32)
-    col_ids[pair_block * blk_w + pair_rank % blk_w] = pair_col
+        # ---- condensed-column ranking (the sort+dedup of TCGNN.cpp:209-223)
+        # Unique (window, col) pairs in sorted order; inverse gives each
+        # edge's pair id, and the pair's rank within its window is its
+        # condensed column.
+        key = edge_window * np.int64(num_cols) + column_index
+        uniq_key, edge_pair = np.unique(key, return_inverse=True)
+        pair_window = (uniq_key // num_cols).astype(np.int64)
+        pair_col = (uniq_key % num_cols).astype(np.int64)
+        uniques_per_window = np.bincount(pair_window, minlength=num_windows)
+        window_pair_start = np.zeros(num_windows + 1, dtype=np.int64)
+        np.cumsum(uniques_per_window, out=window_pair_start[1:])
+        pair_rank = (
+            np.arange(len(uniq_key), dtype=np.int64) - window_pair_start[pair_window]
+        )
 
-    # ---- edge -> (block, row, col) -----------------------------------------
-    edge_rank = pair_rank[edge_pair]
-    edge_block = pair_block[edge_pair]
-    edge_c = (edge_rank % blk_w).astype(np.int32)
-    edge_r = (edge_row % blk_h).astype(np.int32)
+        # ---- block partition (TCGNN.cpp:216) ------------------------------
+        real_blocks_per_window = _cdiv(uniques_per_window, blk_w)
+        num_real_blocks = int(real_blocks_per_window.sum())
+        blocks_per_window = _pad_blocks(real_blocks_per_window, config)
+        block_start = np.zeros(num_windows + 1, dtype=np.int64)
+        np.cumsum(blocks_per_window, out=block_start[1:])
+        num_blocks = int(block_start[-1])
+
+        # ---- per-block condensed-column gather table -----------------------
+        pair_block = block_start[pair_window] + pair_rank // blk_w
+        col_ids = np.zeros(num_blocks * blk_w, dtype=np.int32)
+        col_ids[pair_block * blk_w + pair_rank % blk_w] = pair_col
+
+        # ---- edge -> (block, row, col) -------------------------------------
+        edge_rank = pair_rank[edge_pair]
+        edge_block = pair_block[edge_pair]
+        edge_c = (edge_rank % blk_w).astype(np.int32)
+        edge_r = (edge_row % blk_h).astype(np.int32)
+        edge_pos = (
+            edge_block * np.int64(tile)
+            + edge_r.astype(np.int64) * blk_w
+            + edge_c.astype(np.int64)
+        )
+        if build_tiles:
+            a_tiles = np.bincount(edge_pos, minlength=num_blocks * tile).astype(
+                np.float32
+            ).reshape(num_blocks, blk_h, blk_w)
+
+    window_of_block = np.repeat(
+        np.arange(num_windows, dtype=np.int32), blocks_per_window
+    )
+    block_first_in_window = np.zeros(num_blocks, dtype=np.int32)
+    block_first_in_window[block_start[:-1]] = 1
+
+    if not emit_chunks:
+        return SGTMeta(
+            config=config,
+            num_nodes=int(num_nodes),
+            num_edges=num_edges,
+            block_partition=blocks_per_window.astype(np.int32),
+            num_real_blocks=num_real_blocks,
+            col_ids=col_ids,
+            block_window=window_of_block,
+            block_first_in_window=block_first_in_window,
+            edge_pos=edge_pos,
+            a_tiles=a_tiles,
+        )
 
     # ---- uniform chunk layout ----------------------------------------------
     # Edges sorted by owning block (stable keeps CSR order within a block);
@@ -272,23 +416,11 @@ def sparse_graph_translate(
     chunk_block = np.repeat(
         np.arange(num_blocks, dtype=np.int32), chunks_per_block
     )
-    window_of_block = np.repeat(
-        np.arange(num_windows, dtype=np.int32), blocks_per_window
-    )
     chunk_window = window_of_block[chunk_block]
     chunk_first_in_block = np.zeros(num_chunks, dtype=np.int32)
     chunk_first_in_block[block_chunk_start[:-1]] = 1
     chunk_first_in_window = np.zeros(num_chunks, dtype=np.int32)
     chunk_first_in_window[block_chunk_start[block_start[:-1]]] = 1
-
-    # ---- dense-tile metadata ------------------------------------------------
-    block_first_in_window = np.zeros(num_blocks, dtype=np.int32)
-    block_first_in_window[block_start[:-1]] = 1
-    edge_pos = (
-        edge_block * np.int64(blk_h * blk_w)
-        + edge_r.astype(np.int64) * blk_w
-        + edge_c.astype(np.int64)
-    )
 
     return SGTMeta(
         config=config,
@@ -297,9 +429,10 @@ def sparse_graph_translate(
         block_partition=blocks_per_window.astype(np.int32),
         num_real_blocks=num_real_blocks,
         col_ids=col_ids,
-        block_window=window_of_block.astype(np.int32),
+        block_window=window_of_block,
         block_first_in_window=block_first_in_window,
         edge_pos=edge_pos,
+        a_tiles=a_tiles,
         chunk_r=chunk_r,
         chunk_c=chunk_c,
         chunk_edge_id=chunk_edge_id,
@@ -319,6 +452,8 @@ def build_a_tiles_host(meta: SGTMeta, weights: Optional[np.ndarray] = None) -> n
     preprocessing, where a bincount is much cheaper than compiling an XLA
     scatter.
     """
+    if weights is None and meta.a_tiles is not None:
+        return meta.a_tiles  # fused into the native pass
     cfg = meta.config
     size = meta.num_blocks * cfg.blk_h * cfg.blk_w
     flat = np.bincount(
@@ -327,6 +462,30 @@ def build_a_tiles_host(meta: SGTMeta, weights: Optional[np.ndarray] = None) -> n
         minlength=size,
     ).astype(np.float32)
     return flat.reshape(meta.num_blocks, cfg.blk_h, cfg.blk_w)
+
+
+def count_blocks(
+    row_pointers: np.ndarray,
+    column_index: np.ndarray,
+    num_nodes: int,
+    config: TileConfig = DEFAULT_CONFIG,
+) -> int:
+    """Total block count (incl. empty-window padding blocks) without running
+    the full translation — used to pick dense vs chunk kernels up front."""
+    from tcgnn_tpu.sgt import native
+
+    if native.available():
+        rp64 = np.ascontiguousarray(row_pointers, dtype=np.int64)
+        col32 = np.ascontiguousarray(column_index, dtype=np.int32)
+        real = native.count_blocks(rp64, col32, config.blk_h, config.blk_w)
+        num_windows = max(_cdiv(num_nodes, config.blk_h), 1)
+        if len(real) < num_windows:
+            real = np.pad(real, (0, num_windows - len(real)))
+        return int(_pad_blocks(real, config).sum())
+    meta = sparse_graph_translate(
+        row_pointers, column_index, num_nodes, config, emit_chunks=False
+    )
+    return meta.num_blocks
 
 
 def transpose_csr(row_pointers: np.ndarray, column_index: np.ndarray, num_nodes: int):

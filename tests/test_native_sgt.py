@@ -1,0 +1,75 @@
+"""Native (C++/OpenMP) SGT pass vs the NumPy reference implementation."""
+
+import numpy as np
+import pytest
+
+from tcgnn_tpu.config import TileConfig
+from tcgnn_tpu.data.dataset import coo_to_csr
+from tcgnn_tpu.data.synthetic import powerlaw_graph
+from tcgnn_tpu.sgt import native
+from tcgnn_tpu.sgt.translate import (
+    build_a_tiles_host,
+    count_blocks,
+    sparse_graph_translate,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native SGT library unavailable (no g++?)"
+)
+
+CFGS = [TileConfig(blk_h=8, blk_w=8, edge_chunk=8), TileConfig()]
+
+
+def make_graph(n, e, seed=0):
+    src, dst = powerlaw_graph(n, e, seed=seed)
+    return coo_to_csr(src, dst, n)
+
+
+@pytest.mark.parametrize("cfg", CFGS)
+@pytest.mark.parametrize("n,e", [(100, 600), (1000, 8000)])
+def test_native_matches_numpy(cfg, n, e):
+    indptr, indices = make_graph(n, e, seed=n)
+    m_np = sparse_graph_translate(indptr, indices, n, cfg, impl="numpy")
+    m_nat = sparse_graph_translate(indptr, indices, n, cfg, impl="native")
+
+    np.testing.assert_array_equal(m_np.block_partition, m_nat.block_partition)
+    assert m_np.num_real_blocks == m_nat.num_real_blocks
+    np.testing.assert_array_equal(m_np.col_ids, m_nat.col_ids)
+    np.testing.assert_array_equal(m_np.edge_pos, m_nat.edge_pos)
+    np.testing.assert_array_equal(m_np.block_window, m_nat.block_window)
+    np.testing.assert_array_equal(
+        m_np.block_first_in_window, m_nat.block_first_in_window
+    )
+    # chunk layout is derived from identical (block, r, c) — spot-check
+    np.testing.assert_array_equal(m_np.chunk_r, m_nat.chunk_r)
+    np.testing.assert_array_equal(m_np.edge_perm, m_nat.edge_perm)
+
+
+@pytest.mark.parametrize("cfg", CFGS)
+def test_fused_tiles_match_bincount(cfg):
+    indptr, indices = make_graph(500, 3000, seed=7)
+    m = sparse_graph_translate(
+        indptr, indices, 500, cfg, impl="native", emit_chunks=False, build_tiles=True
+    )
+    assert m.a_tiles is not None
+    ref = np.bincount(
+        m.edge_pos, minlength=m.num_blocks * cfg.blk_h * cfg.blk_w
+    ).astype(np.float32).reshape(m.num_blocks, cfg.blk_h, cfg.blk_w)
+    np.testing.assert_array_equal(m.a_tiles, ref)
+    np.testing.assert_array_equal(build_a_tiles_host(m), m.a_tiles)
+
+
+def test_count_blocks_matches_translate():
+    cfg = TileConfig(blk_h=16, blk_w=16, edge_chunk=16)
+    indptr, indices = make_graph(700, 4000, seed=11)
+    m = sparse_graph_translate(indptr, indices, 700, cfg, impl="numpy")
+    assert count_blocks(indptr, indices, 700, cfg) == m.num_blocks
+
+
+def test_lite_meta_has_no_chunks():
+    cfg = TileConfig(blk_h=8, blk_w=8, edge_chunk=8)
+    indptr, indices = make_graph(200, 900, seed=3)
+    m = sparse_graph_translate(indptr, indices, 200, cfg, emit_chunks=False)
+    assert m.chunk_block is None and m.num_chunks == 0
+    j = m.as_jax()
+    assert j.chunk_r is None and j.col_ids is not None

@@ -38,8 +38,11 @@ def test_block_partition_matches_spec(config, n, e):
     indptr, indices = random_csr(n, e, seed=n)
     meta = sparse_graph_translate(indptr, indices, n, config)
     spec = spec_block_counts(indptr, indices, config.blk_h, config.blk_w)
-    # block_partition pads empty windows to 1; compare against max(spec, 1)
-    assert list(meta.block_partition) == [max(s, 1) for s in spec]
+    # block_partition pads empty windows to >=1 and rounds up to the
+    # dense-kernel group size (translate._pad_blocks); real-block count is
+    # still the reference's TC_Blocks statistic.
+    g = config.block_group
+    assert list(meta.block_partition) == [-(-max(s, 1) // g) * g for s in spec]
     assert meta.num_real_blocks == sum(spec)
 
 
