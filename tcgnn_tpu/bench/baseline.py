@@ -1,0 +1,171 @@
+"""Plain-XLA (gather + segment-sum) GNN baseline trainer.
+
+The role the DGL / PyG baseline suites play in the reference AE harness
+(``/root/reference/dgl_baseline/train.py``, ``pyg-baseline/pyg_main.py``):
+an independent framework implementation of the same models on the same
+graphs, used to compute end-to-end speedup tables.  On TPU the natural
+"incumbent framework" formulation is XLA's gather + ``segment_sum``
+message passing (what jraph-style libraries lower to) — no SGT, no Pallas.
+
+CLI mirrors the trainer: ``python -m tcgnn_tpu.bench.baseline --dataset X
+--model gcn ...`` and prints the same ``Train (ms)`` contract.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tcgnn_tpu.models import nets
+from tcgnn_tpu.ops.reference import edge_rows_from_csr, spmm_ref, sddmm_ref
+
+
+class XlaBaselineGraph:
+    """Duck-types TiledGraph's op surface using pure-XLA primitives."""
+
+    def __init__(self, row_pointers, column_index, num_nodes):
+        self.num_nodes = int(num_nodes)
+        self.num_edges = int(len(column_index))
+        self._ptr = jnp.asarray(np.asarray(row_pointers, np.int32))
+        self._idx = jnp.asarray(np.asarray(column_index, np.int32))
+        # transpose for exact backward on directed graphs
+        from tcgnn_tpu.sgt.translate import transpose_csr
+
+        t_ptr, t_idx, t_src = transpose_csr(
+            np.asarray(row_pointers), np.asarray(column_index), self.num_nodes
+        )
+        self._tptr = jnp.asarray(t_ptr)
+        self._tidx = jnp.asarray(t_idx)
+        self._tsrc = jnp.asarray(t_src)
+        self._rows = edge_rows_from_csr(self._ptr, self.num_edges)
+        self._build()
+
+    def arrays(self):
+        return (
+            self._ptr, self._idx, self._tptr, self._tidx, self._tsrc, self._rows
+        )
+
+    def bind(self, arrs):
+        clone = object.__new__(XlaBaselineGraph)
+        clone.num_nodes, clone.num_edges = self.num_nodes, self.num_edges
+        (clone._ptr, clone._idx, clone._tptr, clone._tidx, clone._tsrc,
+         clone._rows) = arrs
+        clone._build()
+        return clone
+
+    def _build(self):
+        ptr, idx, tptr, tidx, tsrc = (
+            self._ptr, self._idx, self._tptr, self._tidx, self._tsrc
+        )
+
+        @jax.custom_vjp
+        def spmm(x):
+            return spmm_ref(x, ptr, idx)
+
+        def spmm_fwd(x):
+            return spmm(x), None
+
+        def spmm_bwd(_, dy):
+            return (spmm_ref(dy, tptr, tidx),)
+
+        spmm.defvjp(spmm_fwd, spmm_bwd)
+        self.spmm = spmm
+
+        @jax.custom_vjp
+        def spmm_weighted(x, w):
+            return spmm_ref(x, ptr, idx, edge_weights=w)
+
+        def spmm_w_fwd(x, w):
+            return spmm_weighted(x, w), (x, w)
+
+        def spmm_w_bwd(res, dy):
+            x, w = res
+            dx = spmm_ref(dy, tptr, tidx, edge_weights=w[tsrc])
+            rows = self._rows
+            dw = jnp.sum(dy[rows] * x[idx], axis=-1)
+            return dx, dw
+
+        spmm_weighted.defvjp(spmm_w_fwd, spmm_w_bwd)
+        self.spmm_weighted = spmm_weighted
+
+        @jax.custom_vjp
+        def sddmm(x):
+            return sddmm_ref(x, ptr, idx)
+
+        def sddmm_fwd(x):
+            return sddmm(x), x
+
+        def sddmm_bwd(x, de):
+            d_rows = spmm_ref(x, ptr, idx, edge_weights=de)
+            d_cols = spmm_ref(x, tptr, tidx, edge_weights=de[tsrc])
+            return (d_rows + d_cols,)
+
+        sddmm.defvjp(sddmm_fwd, sddmm_bwd)
+        self.sddmm = sddmm
+
+
+def make_baseline_train_step(graph, kind, x, y, optimizer, dropout_rate):
+    garr = graph.arrays()
+
+    def loss_fn(params, key, x, y, g):
+        logp = nets.apply_net(params, kind, x, g, dropout_key=key, dropout_rate=dropout_rate)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    @jax.jit
+    def _step(params, opt_state, key, x, y, garr):
+        g = graph.bind(garr)
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(params, sub, x, y, g)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, key, loss
+
+    def step(params, opt_state, key):
+        return _step(params, opt_state, key, x, y, garr)
+
+    return step
+
+
+def main(argv=None):
+    from tcgnn_tpu.train import build_argparser, load_dataset
+
+    args = build_argparser().parse_args(argv)
+    print(args)
+    ds = load_dataset(args)
+
+    start = time.perf_counter()
+    graph = XlaBaselineGraph(ds.row_pointers, ds.column_index, ds.num_nodes)
+    print("Prep. (ms):\t{:.3f}".format((time.perf_counter() - start) * 1e3))
+
+    x = jnp.asarray(ds.x)
+    y = jnp.asarray(ds.y.astype(np.int32))
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    params = nets.init_net(
+        init_key, args.model, ds.num_features, args.hidden, ds.num_classes, args.num_layers
+    )
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(params)
+    dropout = 0.0 if args.no_dropout else args.dropout
+    step = make_baseline_train_step(graph, args.model, x, y, optimizer, dropout)
+
+    loss = None
+    for _ in range(1, 10):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    float(loss)
+    start = time.perf_counter()
+    for _ in range(args.epochs):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    final_loss = float(loss)
+    train_time = time.perf_counter() - start
+    print("Final loss:\t{:.6f}".format(final_loss))
+    print("Train (ms):\t{:6.3f}".format(train_time * 1e3 / args.epochs))
+    return train_time * 1e3 / args.epochs
+
+
+if __name__ == "__main__":
+    main()

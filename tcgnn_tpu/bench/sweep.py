@@ -1,0 +1,111 @@
+"""AE benchmark sweep: TC-GNN-TPU vs the plain-XLA baseline per dataset.
+
+The reference's harness layers P6/P7/P10-combine
+(``/root/reference/1_bench_gcn.py``, ``1_log2csv.py``,
+``dgl_baseline/2_combine_results.py``) folded into one in-process driver:
+
+  python -m tcgnn_tpu.bench.sweep --model gcn [--datasets cora pubmed]
+                                  [--epochs 50] [--dtype bfloat16]
+
+Outputs (reference CSV contracts):
+  * ``1_bench_<model>.csv``          — ``dataset,Avg.Epoch (ms)``
+  * ``Fig_6a_xla_<model>.csv``       — ``dataset,xla_baseline,tcgnn_tpu,speedup``
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import sys
+import traceback
+
+from tcgnn_tpu.bench.datasets import AE_TABLE, AGNN_CONFIG, GCN_CONFIG
+
+
+def run_one(module_main, name, dim, classes, args, extra=()):
+    argv = [
+        "--dataset", name,
+        "--dim", str(dim),
+        "--classes", str(classes),
+        "--epochs", str(args.epochs),
+        "--model", args.model,
+        "--num_layers", str(args.num_layers),
+        "--hidden", str(args.hidden),
+        "--data_dir", args.data_dir,
+        "--dtype", args.dtype,
+        *extra,
+    ]
+    try:
+        ms = module_main(argv)
+        gc.collect()
+        return ms
+    except Exception:
+        traceback.print_exc()
+        return None
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="gcn", choices=["gcn", "gin", "agnn"])
+    p.add_argument("--datasets", nargs="*", default=None)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--data_dir", default="tcgnn-ae-graphs/")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--num_layers", type=int, default=None)
+    p.add_argument("--hidden", type=int, default=None)
+    p.add_argument("--skip_baseline", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = AGNN_CONFIG if args.model == "agnn" else GCN_CONFIG
+    if args.num_layers is None:
+        args.num_layers = cfg["num_layers"]
+    if args.hidden is None:
+        args.hidden = cfg["hidden"]
+
+    table = [
+        (n, d, c)
+        for n, d, c in AE_TABLE
+        if args.datasets is None or n in args.datasets
+    ]
+
+    from tcgnn_tpu import train as tcgnn_train
+    from tcgnn_tpu.bench import baseline as xla_baseline
+
+    rows = []
+    for name, dim, classes in table:
+        print(f"=== {name} (dim={dim}, classes={classes}) ===", flush=True)
+        ours = run_one(tcgnn_train.main, name, dim, classes, args)
+        base = (
+            None
+            if args.skip_baseline
+            else run_one(xla_baseline.main, name, dim, classes, args)
+        )
+        rows.append((name, base, ours))
+
+    bench_csv = f"1_bench_{args.model}.csv"
+    with open(bench_csv, "w") as f:
+        f.write("dataset,Avg.Epoch (ms)\n")
+        for name, _, ours in rows:
+            if ours is not None:
+                f.write(f"{name},{ours:.3f}\n")
+    print(f"wrote {bench_csv}")
+
+    if not args.skip_baseline:
+        fig_csv = f"Fig_6a_xla_{args.model}.csv"
+        with open(fig_csv, "w") as f:
+            f.write("dataset,xla_baseline,tcgnn_tpu,speedup\n")
+            for name, base, ours in rows:
+                if base is not None and ours is not None:
+                    f.write(f"{name},{base:.3f},{ours:.3f},{base / ours:.3f}\n")
+        print(f"wrote {fig_csv}")
+
+    for name, base, ours in rows:
+        b = f"{base:8.3f}" if base is not None else "    FAIL"
+        o = f"{ours:8.3f}" if ours is not None else "    FAIL"
+        sp = f"{base/ours:6.2f}x" if base and ours else "      -"
+        print(f"{name:20s} baseline {b} ms   tcgnn_tpu {o} ms   speedup {sp}")
+    return rows
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -62,6 +62,10 @@ def load():
             i64p, i32p, i64p, i32p, i64p, ctypes.c_void_p,
         ]
         lib.sgt_fill.restype = None
+        lib.sgt_naive_count.argtypes = [
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, i64p, i32p, i64p,
+        ]
+        lib.sgt_naive_count.restype = None
         _lib = lib
         return _lib
 
@@ -77,6 +81,17 @@ def count_blocks(row_ptr: np.ndarray, col_idx: np.ndarray, blk_h: int, blk_w: in
     out = np.zeros(n_windows, np.int32)
     if n_rows:
         lib.sgt_count(n_rows, blk_h, blk_w, row_ptr, col_idx, out)
+    return out
+
+
+def naive_count(row_ptr: np.ndarray, col_idx: np.ndarray, blk_h: int, blk_w: int) -> np.ndarray:
+    """Per-window naive (uncondensed) sliding-window tile counts."""
+    lib = load()
+    n_rows = len(row_ptr) - 1
+    n_windows = max(-(-n_rows // blk_h), 1)
+    out = np.zeros(n_windows, np.int64)
+    if n_rows:
+        lib.sgt_naive_count(n_rows, blk_h, blk_w, row_ptr, col_idx, out)
     return out
 
 

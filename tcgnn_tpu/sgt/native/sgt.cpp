@@ -88,4 +88,33 @@ void sgt_fill(int64_t n_rows, int blk_h, int blk_w,
   }
 }
 
+// Analytics: naive sliding-window tile count (no column condensation) —
+// the reference's Fig-7 comparison baseline (3_cnt_TC_blk_SpMM.py:73-84:
+// greedy tiles of width blk_w over each window's sorted unique columns).
+void sgt_naive_count(int64_t n_rows, int blk_h, int blk_w,
+                     const int64_t* row_ptr, const int32_t* col_idx,
+                     int64_t* naive_per_window) {
+  const int64_t n_windows = (n_rows + blk_h - 1) / blk_h;
+#pragma omp parallel
+  {
+    std::vector<int32_t> uniq;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t w = 0; w < n_windows; ++w) {
+      const int64_t r0 = w * blk_h;
+      const int64_t r1 = std::min(r0 + blk_h, n_rows);
+      uniq.assign(col_idx + row_ptr[r0], col_idx + row_ptr[r1]);
+      std::sort(uniq.begin(), uniq.end());
+      uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+      int64_t cnt = 0;
+      size_t i = 0;
+      while (i < uniq.size()) {
+        const int32_t end = uniq[i] + blk_w;
+        i = std::lower_bound(uniq.begin() + i, uniq.end(), end) - uniq.begin();
+        ++cnt;
+      }
+      naive_per_window[w] = cnt;
+    }
+  }
+}
+
 }  // extern "C"
