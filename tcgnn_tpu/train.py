@@ -60,6 +60,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--symmetric", action="store_true", help="declare A symmetric (skip transpose tiling)")
+    p.add_argument(
+        "--reorder", default="none", choices=["none", "rcm"],
+        help="node reordering before SGT (raises window condensation; "
+        "the reference pairs SGT with Rabbit ordering similarly)",
+    )
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--no_dropout", action="store_true")
     return p
@@ -143,6 +148,13 @@ def main(argv=None):
 
     ds = load_dataset(args)
     cfg = make_config(args)
+
+    if args.reorder != "none":
+        from tcgnn_tpu.sgt.reorder import reorder_dataset
+
+        start = time.perf_counter()
+        reorder_dataset(ds, args.reorder)
+        print("Reorder (ms):\t{:.3f}".format((time.perf_counter() - start) * 1e3))
 
     # ---- SGT preprocessing (the reference's "Prep." stage) ----------------
     start = time.perf_counter()
