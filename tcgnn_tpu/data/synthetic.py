@@ -98,24 +98,52 @@ def powerlaw_graph(
 def synthesize(name: str, dim: int | None = None, num_classes: int | None = None, seed: int = 0) -> GraphDataset:
     """Build the named AE-scale synthetic graph (or a custom one via
     ``name='rand_<N>_<E>'``)."""
+    planted = name.startswith("planted_")
     if name in AE_DATASETS:
         n, e, d, c = AE_DATASETS[name]
         dim = dim if dim is not None else d
         num_classes = num_classes if num_classes is not None else c
-    elif name.startswith("rand_"):
+    elif name.startswith("rand_") or planted:
         _, n, e = name.split("_")
         n, e = int(n), int(e)
         dim = dim if dim is not None else 96
         num_classes = num_classes if num_classes is not None else 10
     else:
         raise ValueError(
-            f"unknown synthetic dataset {name!r}; known: {sorted(AE_DATASETS)} or rand_<N>_<E>"
+            f"unknown synthetic dataset {name!r}; known: {sorted(AE_DATASETS)},"
+            " rand_<N>_<E>, or planted_<N>_<E>"
         )
     src, dst = powerlaw_graph(n, e, seed=seed)
+    if planted:
+        # Guarantee connectivity + self-contribution: ring edges keep every
+        # node reachable and self-loops let aggregation retain the node's
+        # own signal (A+I, the standard GCN formulation the reference's
+        # models omit).
+        ring = np.arange(n, dtype=np.int64)
+        src = np.concatenate([src, ring, (ring + 1) % n, ring])
+        dst = np.concatenate([dst, (ring + 1) % n, ring, ring])
     ds = _finalize(name, src, dst, n, dim, num_classes, seed=seed)
-    # Random (balanced) labels so NLL training is non-degenerate; the
-    # reference trains against all-ones labels (dataset.py:122) — keep that
-    # behaviour reachable via y_ones().
     rng = np.random.default_rng(seed + 1)
-    ds.y = rng.integers(0, num_classes, size=n).astype(np.int32)
+    if planted:
+        # Learnable node-classification task: contiguous communities (which
+        # the generator's locality makes structurally assortative) with a
+        # weak per-class feature signal that neighbor aggregation denoises.
+        # Used for real accuracy runs — the reference only ever trains
+        # against all-ones labels (dataset.py:122).
+        ds.y = (np.arange(n, dtype=np.int64) * num_classes // n).astype(np.int32)
+        mu = rng.standard_normal((num_classes, ds.num_features)).astype(np.float32)
+        ds.x = (
+            0.6 * mu[ds.y] + rng.standard_normal(ds.x.shape).astype(np.float32)
+        )
+        # honest split: disjoint random train/val/test
+        perm = rng.permutation(n)
+        ds.train_mask[:] = ds.val_mask[:] = ds.test_mask[:] = False
+        ds.train_mask[perm[: int(n * 0.6)]] = True
+        ds.val_mask[perm[int(n * 0.6) : int(n * 0.8)]] = True
+        ds.test_mask[perm[int(n * 0.8) :]] = True
+    else:
+        # Random (balanced) labels so NLL training is non-degenerate; the
+        # reference trains against all-ones labels (dataset.py:122) — keep
+        # that behaviour reachable via y = ones.
+        ds.y = rng.integers(0, num_classes, size=n).astype(np.int32)
     return ds

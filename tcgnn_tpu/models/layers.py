@@ -66,10 +66,27 @@ def init_agnn(key, in_dim: int, out_dim: int, n_heads: int = 1) -> Params:
 # --------------------------------------------------------------------------
 # Layers
 # --------------------------------------------------------------------------
-def gcn_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
-    """GEMM node update, then SpMM neighbor aggregation (gnn_conv.py:59-68)."""
+def gcn_conv(
+    params: Params,
+    x: jnp.ndarray,
+    graph: TiledGraph,
+    norm: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """GEMM node update, then SpMM neighbor aggregation (gnn_conv.py:59-68).
+
+    ``norm`` is an optional per-node ``deg^-1/2`` vector: applied before and
+    after aggregation it yields symmetric GCN normalization
+    ``D^-1/2 A D^-1/2`` — the reference computes these factors but never
+    applies them (dataset.py:107-108); its DGL baseline does
+    (dgl_baseline/train.py:37-39), so parity runs need the option.
+    """
     x_prime = jnp.dot(x, params["weights"], preferred_element_type=jnp.float32)
-    return graph.spmm(x_prime)
+    if norm is not None:
+        x_prime = x_prime * norm[: x_prime.shape[0], None]
+    out = graph.spmm(x_prime)
+    if norm is not None:
+        out = out * norm[: out.shape[0], None]
+    return out
 
 
 def gin_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:

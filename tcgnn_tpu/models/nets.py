@@ -58,11 +58,17 @@ def apply_net(
     dropout_key: Optional[jax.Array] = None,
     dropout_rate: float = 0.5,
     num_valid_classes: Optional[int] = None,
+    norm: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Forward pass.  ``num_valid_classes`` masks trailing logit columns to
     -inf before the log_softmax — used by the distributed trainer when the
-    class dim is padded up for even feature-axis sharding."""
+    class dim is padded up for even feature-axis sharding.  ``norm`` enables
+    symmetric GCN normalization (see ``layers.gcn_conv``)."""
+    import functools
+
     conv = {"gcn": L.gcn_conv, "gin": L.gin_conv, "agnn": L.agnn_conv}[kind]
+    if kind == "gcn" and norm is not None:
+        conv = functools.partial(L.gcn_conv, norm=norm)
 
     h = jax.nn.relu(conv(params[0], x, graph))
     if dropout_key is not None:

@@ -65,6 +65,16 @@ def build_argparser() -> argparse.ArgumentParser:
         help="node reordering before SGT (raises window condensation; "
         "the reference pairs SGT with Rabbit ordering similarly)",
     )
+    p.add_argument(
+        "--gcn_norm", action="store_true",
+        help="symmetric D^-1/2 A D^-1/2 normalization (the reference "
+        "computes sqrt(deg) but never applies it; its DGL baseline does)",
+    )
+    p.add_argument("--eval", action="store_true", help="report train/test accuracy")
+    p.add_argument("--save_params", type=str, default=None)
+    p.add_argument("--load_params", type=str, default=None)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="dump a jax.profiler trace of the timed epochs")
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--no_dropout", action="store_true")
     return p
@@ -86,7 +96,7 @@ def make_config(args) -> TileConfig:
     )
 
 
-def make_train_step(graph: TiledGraph, kind: str, x, y, optimizer, dropout_rate):
+def make_train_step(graph: TiledGraph, kind: str, x, y, optimizer, dropout_rate, norm=None):
     """Jitted full-batch step: forward, NLL over all nodes, Adam update
     (main_tcgnn.py:146-151).
 
@@ -97,7 +107,9 @@ def make_train_step(graph: TiledGraph, kind: str, x, y, optimizer, dropout_rate)
     garr = graph.arrays()
 
     def loss_fn(params, key, x, y, g):
-        logp = nets.apply_net(params, kind, x, g, dropout_key=key, dropout_rate=dropout_rate)
+        logp = nets.apply_net(
+            params, kind, x, g, dropout_key=key, dropout_rate=dropout_rate, norm=norm
+        )
         return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
 
     @jax.jit
@@ -178,28 +190,60 @@ def main(argv=None):
     params = nets.init_net(
         init_key, args.model, ds.num_features, args.hidden, ds.num_classes, args.num_layers
     )
+    if args.load_params:
+        from tcgnn_tpu.utils import checkpoint as ckpt
+
+        params = ckpt.restore(args.load_params, params)
+        print(f"# restored params from {args.load_params}")
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
     dropout = 0.0 if args.no_dropout else args.dropout
-    step = make_train_step(graph, args.model, x, y, optimizer, dropout)
+    norm = (
+        jnp.asarray(1.0 / ds.norm_degrees()) if args.gcn_norm else None
+    )
+    step = make_train_step(graph, args.model, x, y, optimizer, dropout, norm=norm)
 
     # ---- 10 warm-up epochs, then timed epochs (main_tcgnn.py:166-181) -----
     # Timing brackets end on a scalar loss fetch: on tunneled TPU backends
     # block_until_ready can return before execution finishes, so a value
     # readback is the only reliable device sync.
+    from tcgnn_tpu.utils.profiling import trace
+
     loss = None
     for _ in range(1, 10):
         params, opt_state, key, loss = step(params, opt_state, key)
     float(loss)
 
-    start_train = time.perf_counter()
-    for _ in range(1, args.epochs + 1):
-        params, opt_state, key, loss = step(params, opt_state, key)
-    final_loss = float(loss)  # forces the whole epoch chain
-    train_time = time.perf_counter() - start_train
+    with trace(args.profile_dir):
+        start_train = time.perf_counter()
+        for _ in range(1, args.epochs + 1):
+            params, opt_state, key, loss = step(params, opt_state, key)
+        final_loss = float(loss)  # forces the whole epoch chain
+        train_time = time.perf_counter() - start_train
 
     print("Final loss:\t{:.6f}".format(final_loss))
     print("Train (ms):\t{:6.3f}".format(train_time * 1e3 / args.epochs))
+
+    if args.eval:
+        garr = graph.arrays()
+
+        @jax.jit
+        def predict(params, x, garr):
+            logp = nets.apply_net(params, args.model, x, graph.bind(garr), norm=norm)
+            return jnp.argmax(logp, axis=1)
+
+        pred = predict(params, x, garr)
+        for split, mask in (("train", ds.train_mask), ("test", ds.test_mask)):
+            if mask.any():
+                m = jnp.asarray(mask)
+                acc = float(jnp.sum((pred == y) * m) / jnp.sum(m))
+                print("Acc {}:\t{:.4f}".format(split, acc))
+
+    if args.save_params:
+        from tcgnn_tpu.utils import checkpoint as ckpt
+
+        path = ckpt.save(args.save_params, params, step=args.epochs)
+        print(f"# saved params to {path}")
     return train_time * 1e3 / args.epochs
 
 
