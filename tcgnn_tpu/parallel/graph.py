@@ -37,8 +37,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
-from tcgnn_tpu.ops.spmm import _spmm_padded, default_interpret
-from tcgnn_tpu.ops.sddmm import _sddmm_padded
+from tcgnn_tpu.ops.spmm import _spmm_dense_padded, _spmm_padded, default_interpret
+from tcgnn_tpu.ops.sddmm import _sddmm_dense_padded, _sddmm_padded
 from tcgnn_tpu.parallel.partition import ShardedSGTMeta, partition_graph
 
 
@@ -58,15 +58,29 @@ _META_FIELDS = (
     "edge_valid",
 )
 
+# Dense-tile path (the default; chunk fields remain the fallback).
+_DENSE_FIELDS = (
+    "a_tiles",
+    "col_ids",
+    "block_window",
+    "block_first_in_window",
+    "edge_pos",
+    "edge_valid",
+)
+
 
 def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> dict:
     sh = NamedSharding(mesh, P("graph"))
+    fields = set(_META_FIELDS) | set(_DENSE_FIELDS)
     out = {
-        k: jax.device_put(jnp.asarray(getattr(meta, k)), sh) for k in _META_FIELDS
+        k: jax.device_put(jnp.asarray(getattr(meta, k)), sh) for k in fields
     }
     if with_fwd_slot:
         out["chunk_fwd_slot"] = jax.device_put(
             jnp.asarray(meta.chunk_fwd_slot), sh
+        )
+        out["edge_fwd_slot"] = jax.device_put(
+            jnp.asarray(meta.edge_fwd_slot), sh
         )
     return out
 
@@ -89,6 +103,7 @@ class DistributedTiledGraph:
         config: TileConfig = DEFAULT_CONFIG,
         interpret: Optional[bool] = None,
         d_tile: int = 128,
+        dense_tiles: Optional[bool] = None,
     ):
         if mesh is None:
             from tcgnn_tpu.parallel.mesh import make_mesh
@@ -115,6 +130,13 @@ class DistributedTiledGraph:
         self.padded_nodes = fwd.padded_nodes
         self.padded_edges = fwd.padded_edges
         self.edge_capacity = fwd.edge_capacity
+        if dense_tiles is None:
+            # per-shard dense index space must fit int32
+            dense_tiles = (
+                max(fwd.a_tiles.shape[1], bwd.a_tiles.shape[1])
+                * config.blk_h * config.blk_w < 2**31
+            )
+        self.dense_tiles = dense_tiles
         self._fwd = _meta_to_device(fwd, mesh, with_fwd_slot=False)
         self._bwd = _meta_to_device(bwd, mesh, with_fwd_slot=True)
 
@@ -244,24 +266,87 @@ class DistributedTiledGraph:
                 s = jax.lax.psum(s, "feature")
             return s
 
+        # ---- dense-tile local fns (default path) ---------------------------
+        blk_h, blk_w = cfg.blk_h, cfg.blk_w
+
+        def local_spmm_dense(x_loc, w_loc, *meta, weighted, use_fwd_slot):
+            names = _DENSE_FIELDS + (("edge_fwd_slot",) if use_fwd_slot else ())
+            m = dict(zip(names, meta))
+            x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
+            b_max = m["a_tiles"].shape[1]
+            if weighted:
+                size = b_max * blk_h * blk_w
+                if use_fwd_slot:
+                    # Forward-ordered weights: gather all shards' slabs, then
+                    # index through the per-t-edge slot table.
+                    w_all = jax.lax.all_gather(w_loc, "graph", axis=0, tiled=True)
+                    w_ext = jnp.concatenate([w_all, jnp.zeros((1,), w_all.dtype)])
+                    vals = w_ext[m["edge_fwd_slot"][0]]
+                else:
+                    vals = jnp.where(m["edge_valid"][0], w_loc, 0.0)
+                tiles = (
+                    jnp.zeros((size,), jnp.float32)
+                    .at[m["edge_pos"][0]]
+                    .add(vals.astype(jnp.float32))
+                    .reshape(b_max, blk_h, blk_w)
+                )
+            else:
+                tiles = m["a_tiles"][0]
+            return _spmm_dense_padded(
+                x_full,
+                tiles,
+                m["col_ids"][0],
+                m["block_window"][0],
+                m["block_first_in_window"][0],
+                cfg=cfg,
+                num_windows=wd,
+                interpret=interpret,
+                d_tile=d_tile,
+            )
+
+        def local_sddmm_dense(xa_loc, xb_loc, *meta):
+            m = dict(zip(_DENSE_FIELDS, meta))
+            xb_full = jax.lax.all_gather(xb_loc, "graph", axis=0, tiled=True)
+            tiles = _sddmm_dense_padded(
+                xa_loc,
+                xb_full,
+                m["col_ids"][0],
+                m["block_window"][0],
+                cfg=cfg,
+                num_windows=wd,
+                interpret=interpret,
+                d_tile=d_tile,
+            )
+            s = tiles.reshape(-1)[m["edge_pos"][0]]
+            s = jnp.where(m["edge_valid"][0], s, 0.0)
+            if pf > 1:
+                s = jax.lax.psum(s, "feature")
+            return s
+
+        if self.dense_tiles:
+            fields, spmm_fn, sddmm_fn = _DENSE_FIELDS, local_spmm_dense, local_sddmm_dense
+        else:
+            fields, spmm_fn, sddmm_fn = _META_FIELDS, local_spmm, local_sddmm
+        field_specs = tuple(P("graph") for _ in fields)
+
         _spmm_u = self._shardmap(
-            functools.partial(local_spmm, weighted=False, use_fwd_slot=False),
-            in_specs=(node_spec, edge_spec) + meta_specs,
+            functools.partial(spmm_fn, weighted=False, use_fwd_slot=False),
+            in_specs=(node_spec, edge_spec) + field_specs,
             out_specs=node_spec,
         )
         _spmm_w = self._shardmap(
-            functools.partial(local_spmm, weighted=True, use_fwd_slot=False),
-            in_specs=(node_spec, edge_spec) + meta_specs,
+            functools.partial(spmm_fn, weighted=True, use_fwd_slot=False),
+            in_specs=(node_spec, edge_spec) + field_specs,
             out_specs=node_spec,
         )
         _spmm_w_t = self._shardmap(
-            functools.partial(local_spmm, weighted=True, use_fwd_slot=True),
-            in_specs=(node_spec, edge_spec) + meta_specs + (P("graph"),),
+            functools.partial(spmm_fn, weighted=True, use_fwd_slot=True),
+            in_specs=(node_spec, edge_spec) + field_specs + (P("graph"),),
             out_specs=node_spec,
         )
         _sddmm = self._shardmap(
-            local_sddmm,
-            in_specs=(node_spec, node_spec) + meta_specs,
+            sddmm_fn,
+            in_specs=(node_spec, node_spec) + field_specs,
             out_specs=edge_spec,
         )
 
@@ -271,10 +356,10 @@ class DistributedTiledGraph:
         zero_w = jax.device_put(
             jnp.zeros(self.padded_edges, jnp.float32), self._edge_sh
         )
+        slot_key = "edge_fwd_slot" if self.dense_tiles else "chunk_fwd_slot"
         self._device_arrays = (
-            tuple(self._fwd[k] for k in _META_FIELDS),
-            tuple(self._bwd[k] for k in _META_FIELDS)
-            + (self._bwd["chunk_fwd_slot"],),
+            tuple(self._fwd[k] for k in fields),
+            tuple(self._bwd[k] for k in fields) + (self._bwd[slot_key],),
             zero_w,
         )
         ops = self._make_ops(*self._device_arrays)
@@ -294,11 +379,13 @@ class DistributedTiledGraph:
         _spmm_u, _spmm_w, _spmm_w_t, _sddmm = (
             self._spmm_u, self._spmm_w, self._spmm_w_t, self._sddmm_raw,
         )
-        d_quantum = self.d_tile * self.pf
+        # Narrow feature dims stay narrow (the dense kernels accept any
+        # 8-aligned local width); only shard divisibility is required.
+        d_quantum = 8 * self.pf
 
         def pad_d(x):
-            """Pad the feature dim to a multiple of d_tile per feature shard
-            (the single-device wrappers pad the same way, spmm.py:229-231)."""
+            """Pad the feature dim so each feature shard gets an 8-aligned
+            slice (the kernels handle sub-128 widths natively)."""
             d = x.shape[1]
             d_pad = _round_up(max(d, 1), d_quantum)
             if d_pad != d:

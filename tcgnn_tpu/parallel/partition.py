@@ -62,6 +62,12 @@ class ShardedSGTMeta:
 
     edge_start: np.ndarray        # [G+1] int64, global CSR edge offsets per shard
     col_ids: np.ndarray           # [G, Bw] int32
+    # --- dense-tile path (per-shard, block-padded to the common Bmax) -----
+    a_tiles: np.ndarray           # [G, Bmax, blk_h, blk_w] int8 structural tiles
+    block_window: np.ndarray      # [G, Bmax] int32 (local window; pad -> 0)
+    block_first_in_window: np.ndarray  # [G, Bmax] int32 (pad -> 0)
+    edge_pos: np.ndarray          # [G, Emax] int32 local dense slot (pad -> 0)
+    # --- chunk fallback ----------------------------------------------------
     chunk_r: np.ndarray           # [G, Cn, EC] int32
     chunk_c: np.ndarray           # [G, Cn, EC] int32
     chunk_edge_id: np.ndarray     # [G, Cn, EC] int32 (local ids, sentinel Emax)
@@ -71,6 +77,11 @@ class ShardedSGTMeta:
     edge_perm: np.ndarray         # [G, Emax] int32 -> chunk slot of local edge
     edge_valid: np.ndarray        # [G, Emax] bool (real edge slots)
     chunk_fwd_slot: Optional[np.ndarray] = None  # [G, Cn, EC] int32
+    # Per local transpose edge: global padded-layout forward slot
+    # shard * Emax_fwd + local_fwd (sentinel G * Emax_fwd) — lets the
+    # backward build weighted tiles from forward-ordered weights after an
+    # all-gather.
+    edge_fwd_slot: Optional[np.ndarray] = None  # [G, Emax] int32
 
     @property
     def padded_nodes(self) -> int:
@@ -97,19 +108,31 @@ def _stack_shards(
     config: TileConfig,
     edge_capacity: Optional[int] = None,
 ) -> ShardedSGTMeta:
+    from tcgnn_tpu.sgt.translate import build_a_tiles_host
+
     G = len(metas)
-    blk_w, ec = config.blk_w, config.edge_chunk
+    blk_h, blk_w, ec = config.blk_h, config.blk_w, config.edge_chunk
     cn_max = max(m.num_chunks for m in metas)
-    b_max = max(m.num_blocks for m in metas)
+    group = max(int(config.block_group), 1)
+    b_max = -(-max(m.num_blocks for m in metas) // group) * group
     counts = np.diff(edge_start)
     e_max = int(edge_capacity if edge_capacity is not None else max(counts.max(), 1))
 
     col_ids, chunk_r, chunk_c, chunk_eid = [], [], [], []
     chunk_block, chunk_window, chunk_first = [], [], []
     edge_perm, edge_valid = [], []
+    a_tiles, block_window, block_first, edge_pos = [], [], [], []
     for s, m in enumerate(metas):
         e_s = int(counts[s])
         col_ids.append(_pad_axis0(m.col_ids, b_max * blk_w, 0))
+        tiles = build_a_tiles_host(m)
+        assert tiles.max(initial=0.0) <= 127, "duplicate-edge count exceeds int8"
+        a_tiles.append(_pad_axis0(tiles.astype(np.int8), b_max, 0))
+        # Padding blocks: zero tiles, window 0, first=0 -> zero contribution
+        # after window 0's real first block has initialized its tile.
+        block_window.append(_pad_axis0(m.block_window, b_max, 0))
+        block_first.append(_pad_axis0(m.block_first_in_window, b_max, 0))
+        edge_pos.append(_pad_axis0(m.edge_pos.astype(np.int32), e_max, 0))
         # Padding chunks: all-sentinel rows -> zero one-hot -> zero
         # contribution; they point at (window 0, block 0) which real chunk 0
         # has already initialized (padding is appended after all real chunks).
@@ -137,6 +160,10 @@ def _stack_shards(
         num_real_blocks=sum(m.num_real_blocks for m in metas),
         edge_start=edge_start.astype(np.int64),
         col_ids=np.stack(col_ids),
+        a_tiles=np.stack(a_tiles),
+        block_window=np.stack(block_window),
+        block_first_in_window=np.stack(block_first),
+        edge_pos=np.stack(edge_pos),
         chunk_r=np.stack(chunk_r),
         chunk_c=np.stack(chunk_c),
         chunk_edge_id=np.stack(chunk_eid),
@@ -236,5 +263,17 @@ def partition_graph(
         )
         chunk_fwd_slot[s] = fwd_slot_of_global[t_src_ext[global_t]].astype(np.int32)
     bwd.chunk_fwd_slot = chunk_fwd_slot
+
+    # Dense-path variant: the same mapping per *edge* instead of per chunk
+    # slot (feeds the weighted-tile scatter in the distributed backward).
+    t_counts = np.diff(bwd.edge_start)
+    edge_fwd_slot = np.full((G, e_max_t), sentinel, dtype=np.int32)
+    for s in range(G):
+        cnt = int(t_counts[s])
+        global_t = bwd.edge_start[s] + np.arange(cnt, dtype=np.int64)
+        edge_fwd_slot[s, :cnt] = fwd_slot_of_global[
+            t_src.astype(np.int64)[global_t]
+        ].astype(np.int32)
+    bwd.edge_fwd_slot = edge_fwd_slot
     del fwd_counts
     return fwd, bwd

@@ -204,3 +204,17 @@ def test_distributed_loss_matches_single_device(setup):
     ld = float(jax.jit(loss_d)(params))
     ls = float(loss_s(params))
     assert abs(ld - ls) < 1e-4, (ld, ls)
+
+
+def test_chunk_fallback_matches_dense(setup, mesh42):
+    dg, sg, x, a, ptr, cols = setup
+    n, d = x.shape
+    dgc = DistributedTiledGraph(ptr, cols, n, mesh42, CFG, dense_tiles=False)
+    assert dg.dense_tiles and not dgc.dense_tiles
+    xs = dg.shard_features(x)
+    out_d = np.asarray(jax.jit(dg.spmm)(xs))[:n, :d]
+    out_c = np.asarray(jax.jit(dgc.spmm)(dgc.shard_features(x)))[:n, :d]
+    np.testing.assert_allclose(out_d, out_c, rtol=1e-4, atol=1e-4)
+    sc_d = dg.gather_edge_vector(jax.jit(dg.sddmm)(xs))
+    sc_c = dgc.gather_edge_vector(jax.jit(dgc.sddmm)(dgc.shard_features(x)))
+    np.testing.assert_allclose(sc_d, sc_c, rtol=1e-4, atol=1e-4)
