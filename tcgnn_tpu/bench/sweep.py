@@ -54,6 +54,11 @@ def main(argv=None):
     p.add_argument("--num_layers", type=int, default=None)
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--skip_baseline", action="store_true")
+    p.add_argument(
+        "--single_kernel", action="store_true",
+        help="profile one SAG SpMM per dataset instead of training "
+        "(the reference's 2_tcgnn_single_kernel.py sweep)",
+    )
     args = p.parse_args(argv)
 
     cfg = AGNN_CONFIG if args.model == "agnn" else GCN_CONFIG
@@ -70,6 +75,22 @@ def main(argv=None):
 
     from tcgnn_tpu import train as tcgnn_train
     from tcgnn_tpu.bench import baseline as xla_baseline
+
+    if args.single_kernel:
+        # single-kernel sweep: dim 96 like 2_tcgnn_single_kernel.py:27-33
+        out = "2_tcgnn_single_kernel.csv"
+        with open(out, "w") as f:
+            f.write("dataset,SAG avg (ms)\n")
+            for name, _, classes in table:
+                print(f"=== {name} (single kernel) ===", flush=True)
+                ms = run_one(
+                    tcgnn_train.main, name, 96, classes, args,
+                    extra=("--single_kernel",),
+                )
+                if ms is not None:
+                    f.write(f"{name},{ms:.3f}\n")
+        print(f"wrote {out}")
+        return []
 
     rows = []
     for name, dim, classes in table:

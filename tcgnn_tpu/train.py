@@ -181,8 +181,7 @@ def main(argv=None):
     y = jnp.asarray(ds.y.astype(np.int32))
 
     if args.single_kernel:
-        profile_sag(graph, x)
-        return
+        return profile_sag(graph, x) * 1e3
 
     # ---- model + optimizer -------------------------------------------------
     key = jax.random.PRNGKey(args.seed)
