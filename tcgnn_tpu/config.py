@@ -32,7 +32,10 @@ class TileConfig:
         (one-hot operands are exact in bf16 either way).
     """
 
-    blk_h: int = 128
+    # 512-row windows measure best on TPU: SGT math is per-window, so taller
+    # windows dedup more neighbors (fewer condensed-gather rows) AND cut the
+    # kernel grid-step count; the MXU happily takes [512,128]x[128,d] tiles.
+    blk_h: int = 512
     blk_w: int = 128
     edge_chunk: int = 128
     compute_dtype: jnp.dtype = jnp.float32

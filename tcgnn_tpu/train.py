@@ -53,7 +53,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--single_kernel", action="store_true", help="profile a single SAG kernel")
     # TPU-native extensions.
     p.add_argument("--data_dir", type=str, default="tcgnn-ae-graphs/")
-    p.add_argument("--blk_h", type=int, default=128)
+    p.add_argument("--blk_h", type=int, default=512)
     p.add_argument("--blk_w", type=int, default=128)
     p.add_argument("--edge_chunk", type=int, default=128)
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
