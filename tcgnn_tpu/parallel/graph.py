@@ -69,6 +69,9 @@ _DENSE_FIELDS = (
 )
 
 
+_OVERLAP_KEYS = ("a_tiles", "col_ids", "block_window", "block_first_in_window")
+
+
 def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> dict:
     sh = NamedSharding(mesh, P("graph"))
     fields = set(_META_FIELDS) | set(_DENSE_FIELDS)
@@ -81,6 +84,12 @@ def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> di
         )
         out["edge_fwd_slot"] = jax.device_put(
             jnp.asarray(meta.edge_fwd_slot), sh
+        )
+    if meta.overlap is not None:
+        out["overlap"] = tuple(
+            jax.device_put(jnp.asarray(meta.overlap[cls][k]), sh)
+            for cls in ("local", "remote")
+            for k in _OVERLAP_KEYS
         )
     return out
 
@@ -323,17 +332,46 @@ class DistributedTiledGraph:
                 s = jax.lax.psum(s, "feature")
             return s
 
+        # ---- halo-overlap unweighted SpMM ----------------------------------
+        # Blocks whose edges are all shard-resident run against the local
+        # feature slab while the halo all-gather is in flight; XLA's async
+        # collectives overlap the two.  (The reference has no multi-device
+        # analogue; this is the TPU counterpart of overlapping shared-memory
+        # loads with WMMA compute inside one GPU kernel.)
+        def local_spmm_overlap(x_loc, w_loc, *meta):
+            (lt, lc, lw, lf, rt, rc, rw, rf) = meta
+            x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
+            out_local = _spmm_dense_padded(
+                x_loc, lt[0], lc[0], lw[0], lf[0],
+                cfg=cfg, num_windows=wd, interpret=interpret, d_tile=d_tile,
+            )
+            out_remote = _spmm_dense_padded(
+                x_full, rt[0], rc[0], rw[0], rf[0],
+                cfg=cfg, num_windows=wd, interpret=interpret, d_tile=d_tile,
+            )
+            return out_local + out_remote
+
         if self.dense_tiles:
             fields, spmm_fn, sddmm_fn = _DENSE_FIELDS, local_spmm_dense, local_sddmm_dense
         else:
             fields, spmm_fn, sddmm_fn = _META_FIELDS, local_spmm, local_sddmm
         field_specs = tuple(P("graph") for _ in fields)
 
-        _spmm_u = self._shardmap(
-            functools.partial(spmm_fn, weighted=False, use_fwd_slot=False),
-            in_specs=(node_spec, edge_spec) + field_specs,
-            out_specs=node_spec,
-        )
+        use_overlap = self.dense_tiles and "overlap" in self._fwd
+        if use_overlap:
+            ov_specs = tuple(P("graph") for _ in range(8))
+            _spmm_u = self._shardmap(
+                local_spmm_overlap,
+                in_specs=(node_spec, edge_spec) + ov_specs,
+                out_specs=node_spec,
+            )
+        else:
+            _spmm_u = self._shardmap(
+                functools.partial(spmm_fn, weighted=False, use_fwd_slot=False),
+                in_specs=(node_spec, edge_spec) + field_specs,
+                out_specs=node_spec,
+            )
+        self._use_overlap = use_overlap
         _spmm_w = self._shardmap(
             functools.partial(spmm_fn, weighted=True, use_fwd_slot=False),
             in_specs=(node_spec, edge_spec) + field_specs,
@@ -361,6 +399,8 @@ class DistributedTiledGraph:
             tuple(self._fwd[k] for k in fields),
             tuple(self._bwd[k] for k in fields) + (self._bwd[slot_key],),
             zero_w,
+            self._fwd.get("overlap") if use_overlap else None,
+            self._bwd.get("overlap") if use_overlap else None,
         )
         ops = self._make_ops(*self._device_arrays)
         self.spmm, self.spmm_weighted, self.sddmm = ops
@@ -374,8 +414,14 @@ class DistributedTiledGraph:
     def bind(self, device_arrays) -> "BoundDistributedGraph":
         return BoundDistributedGraph(self, self._make_ops(*device_arrays))
 
-    def _make_ops(self, fwd_meta, bwd_meta_slot, zero_w):
+    def _make_ops(self, fwd_meta, bwd_meta_slot, zero_w, ov_fwd=None, ov_bwd=None):
         bwd_meta = bwd_meta_slot[:-1]
+        if self._use_overlap:
+            spmm_u_fwd_args = ov_fwd
+            spmm_u_bwd_args = ov_bwd
+        else:
+            spmm_u_fwd_args = fwd_meta
+            spmm_u_bwd_args = bwd_meta
         _spmm_u, _spmm_w, _spmm_w_t, _sddmm = (
             self._spmm_u, self._spmm_w, self._spmm_w_t, self._sddmm_raw,
         )
@@ -395,13 +441,13 @@ class DistributedTiledGraph:
         # ---- public custom_vjp ops (mirror TiledGraph._make_ops) ----------
         @jax.custom_vjp
         def spmm(x):
-            return _spmm_u(pad_d(x), zero_w, *fwd_meta)[:, : x.shape[1]]
+            return _spmm_u(pad_d(x), zero_w, *spmm_u_fwd_args)[:, : x.shape[1]]
 
         def spmm_fwd(x):
             return spmm(x), None
 
         def spmm_bwd(_, dy):
-            return (_spmm_u(pad_d(dy), zero_w, *bwd_meta)[:, : dy.shape[1]],)
+            return (_spmm_u(pad_d(dy), zero_w, *spmm_u_bwd_args)[:, : dy.shape[1]],)
 
         spmm.defvjp(spmm_fwd, spmm_bwd)
 

@@ -77,6 +77,10 @@ class ShardedSGTMeta:
     edge_perm: np.ndarray         # [G, Emax] int32 -> chunk slot of local edge
     edge_valid: np.ndarray        # [G, Emax] bool (real edge slots)
     chunk_fwd_slot: Optional[np.ndarray] = None  # [G, Cn, EC] int32
+    # Halo-overlap split (unweighted SpMM): {"local": {...}, "remote": {...}}
+    # each with stacked a_tiles/col_ids/block_window/block_first_in_window.
+    # Local-class col_ids are shard-relative (index the resident slab).
+    overlap: Optional[dict] = None
     # Per local transpose edge: global padded-layout forward slot
     # shard * Emax_fwd + local_fwd (sentinel G * Emax_fwd) — lets the
     # backward build weighted tiles from forward-ordered weights after an
@@ -175,6 +179,96 @@ def _stack_shards(
     )
 
 
+def split_local_remote(
+    meta: "SGTMeta",
+    column_index: np.ndarray,
+    lo: int,
+    hi: int,
+    config: TileConfig,
+):
+    """Split one shard's blocks into local / remote classes for halo overlap.
+
+    A block is *local* iff every edge it holds references a column owned by
+    this shard (``lo <= col < hi``) — its contribution needs only the
+    shard-resident features, so the kernel can run while the halo
+    all-gather is still in flight.  Edgeless padding blocks are local.
+
+    Returns a dict per class with keys ``a_tiles`` (int8), ``col_ids``
+    (local class: ids relative to the shard; remote: global), ``block_window``,
+    ``block_first``, ``edge_pos`` ([num_edges] int64 into the class's tile
+    space, -1 for edges of the other class), ``num_blocks``.
+    """
+    from tcgnn_tpu.sgt.translate import build_a_tiles_host
+
+    blk_h, blk_w = config.blk_h, config.blk_w
+    tile = blk_h * blk_w
+    num_blocks = meta.num_blocks
+    num_windows = meta.num_windows
+    cols = np.asarray(column_index, dtype=np.int64)
+
+    edge_block = meta.edge_pos // tile
+    remote_edge = (cols < lo) | (cols >= hi)
+    block_is_remote = np.zeros(num_blocks, dtype=bool)
+    np.logical_or.at(block_is_remote, edge_block, remote_edge)
+
+    tiles_full = build_a_tiles_host(meta).astype(np.int8)
+    block_start = np.zeros(num_windows + 1, dtype=np.int64)
+    np.cumsum(meta.block_partition.astype(np.int64), out=block_start[1:])
+
+    out = {}
+    for cls, sel in (("local", ~block_is_remote), ("remote", block_is_remote)):
+        # per-window counts in this class, padded so every window owns >= 1
+        # block (the class kernel must write every output tile).
+        cls_per_window = np.add.reduceat(
+            sel.astype(np.int64), block_start[:-1]
+        ) if num_blocks else np.zeros(num_windows, np.int64)
+        cls_per_window_p = np.maximum(cls_per_window, 1)
+        new_start = np.zeros(num_windows + 1, dtype=np.int64)
+        np.cumsum(cls_per_window_p, out=new_start[1:])
+        nb = int(new_start[-1])
+
+        # stable new index of each selected old block
+        sel_idx = np.flatnonzero(sel)
+        win_of_sel = meta.block_window[sel_idx].astype(np.int64)
+        rank_in_window = (
+            np.arange(len(sel_idx)) -
+            np.concatenate([[0], np.cumsum(cls_per_window)])[win_of_sel]
+        )
+        new_block = np.full(num_blocks, -1, dtype=np.int64)
+        new_block[sel_idx] = new_start[win_of_sel] + rank_in_window
+
+        a_tiles = np.zeros((nb, blk_h, blk_w), dtype=np.int8)
+        col_ids = np.zeros(nb * blk_w, dtype=np.int32)
+        a_tiles[new_block[sel_idx]] = tiles_full[sel_idx]
+        src_cols = meta.col_ids.reshape(num_blocks, blk_w)[sel_idx]
+        col_ids.reshape(nb, blk_w)[new_block[sel_idx]] = src_cols
+
+        block_window = np.repeat(
+            np.arange(num_windows, dtype=np.int32), cls_per_window_p
+        )
+        block_first = np.zeros(nb, dtype=np.int32)
+        block_first[new_start[:-1]] = 1
+
+        e_sel = sel[edge_block]
+        edge_pos = np.full(meta.num_edges, -1, dtype=np.int64)
+        edge_pos[e_sel] = (
+            new_block[edge_block[e_sel]] * tile + meta.edge_pos[e_sel] % tile
+        )
+        out[cls] = dict(
+            a_tiles=a_tiles,
+            col_ids=col_ids,
+            block_window=block_window,
+            block_first_in_window=block_first,
+            edge_pos=edge_pos,
+            num_blocks=nb,
+        )
+
+    # local class gathers from the shard-resident slab: rebase ids.
+    lc = out["local"]["col_ids"].astype(np.int64) - lo
+    out["local"]["col_ids"] = np.clip(lc, 0, hi - lo - 1).astype(np.int32)
+    return out["local"], out["remote"]
+
+
 def partition_csr(
     row_pointers: np.ndarray,
     column_index: np.ndarray,
@@ -204,18 +298,53 @@ def partition_csr(
     )
     edge_start = ptr[:: rows_per_shard].copy()  # [G+1]
 
-    metas = []
+    metas, local_cols_list = [], []
     for s in range(num_shards):
         r0, r1 = s * rows_per_shard, (s + 1) * rows_per_shard
         local_ptr = ptr[r0 : r1 + 1] - ptr[r0]
         local_cols = column_index[ptr[r0] : ptr[r1]]
+        local_cols_list.append(local_cols)
         metas.append(
             sparse_graph_translate(local_ptr, local_cols, rows_per_shard, config)
         )
 
-    return _stack_shards(
+    stacked = _stack_shards(
         metas, edge_start, num_nodes, num_edges, rows_per_shard, config, edge_capacity
     )
+    stacked.overlap = _stack_overlap(
+        metas, local_cols_list, rows_per_shard, config
+    )
+    return stacked
+
+
+def _stack_overlap(metas, local_cols_list, rows_per_shard, config):
+    """Stack per-shard local/remote block classes (see split_local_remote)."""
+    classes = {"local": [], "remote": []}
+    for s, m in enumerate(metas):
+        lo, hi = s * rows_per_shard, (s + 1) * rows_per_shard
+        loc, rem = split_local_remote(m, local_cols_list[s], lo, hi, config)
+        classes["local"].append(loc)
+        classes["remote"].append(rem)
+
+    group = max(int(config.block_group), 1)
+    out = {}
+    for cls, parts in classes.items():
+        b_max = -(-max(p["num_blocks"] for p in parts) // group) * group
+        out[cls] = {
+            "a_tiles": np.stack(
+                [_pad_axis0(p["a_tiles"], b_max, 0) for p in parts]
+            ),
+            "col_ids": np.stack(
+                [_pad_axis0(p["col_ids"], b_max * config.blk_w, 0) for p in parts]
+            ),
+            "block_window": np.stack(
+                [_pad_axis0(p["block_window"], b_max, 0) for p in parts]
+            ),
+            "block_first_in_window": np.stack(
+                [_pad_axis0(p["block_first_in_window"], b_max, 0) for p in parts]
+            ),
+        }
+    return out
 
 
 def partition_graph(

@@ -75,6 +75,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--load_params", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="dump a jax.profiler trace of the timed epochs")
+    p.add_argument(
+        "--mesh", type=str, default=None, metavar="GxF",
+        help="train distributed over a ('graph','feature') device mesh, "
+        "e.g. --mesh 4x2 (needs >= G*F visible devices)",
+    )
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--no_dropout", action="store_true")
     return p
@@ -154,12 +159,66 @@ def profile_sag(graph: TiledGraph, x, num_rounds: int = 200):
     return dur / num_rounds
 
 
+def train_distributed(args, ds, cfg):
+    """Full-batch training over a ('graph','feature') mesh (--mesh GxF)."""
+    from tcgnn_tpu.parallel import (
+        make_mesh,
+        distributed_graph_from_dataset,
+        init_distributed_net,
+        make_distributed_train_step,
+    )
+
+    ng, nf = (int(v) for v in args.mesh.lower().split("x"))
+    mesh = make_mesh(n_graph=ng, n_feature=nf)
+
+    start = time.perf_counter()
+    graph = distributed_graph_from_dataset(ds, mesh, cfg)
+    print("TC_Blocks:\t{}\nExp_Edges:\t{}".format(graph.tc_blocks, graph.exp_edges))
+    print("Prep. (ms):\t{:.3f}".format((time.perf_counter() - start) * 1e3))
+
+    x = graph.shard_features(ds.x)
+    y = graph.shard_nodes(ds.y.astype(np.int32))
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    params, _, _ = init_distributed_net(
+        init_key, args.model, x.shape[1], args.hidden, ds.num_classes,
+        args.num_layers, graph,
+    )
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(params)
+    dropout = 0.0 if args.no_dropout else args.dropout
+    step = make_distributed_train_step(
+        graph, args.model, x, y, optimizer, dropout,
+        num_valid_classes=ds.num_classes,
+    )
+
+    loss = None
+    for _ in range(1, 10):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    float(loss)
+    start_train = time.perf_counter()
+    for _ in range(1, args.epochs + 1):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    final_loss = float(loss)
+    train_time = time.perf_counter() - start_train
+    print("Final loss:\t{:.6f}".format(final_loss))
+    print("Train (ms):\t{:6.3f}".format(train_time * 1e3 / args.epochs))
+    return train_time * 1e3 / args.epochs
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     print(args)
 
     ds = load_dataset(args)
     cfg = make_config(args)
+
+    if args.mesh:
+        if args.reorder != "none":
+            from tcgnn_tpu.sgt.reorder import reorder_dataset
+
+            reorder_dataset(ds, args.reorder)
+        return train_distributed(args, ds, cfg)
 
     if args.reorder != "none":
         from tcgnn_tpu.sgt.reorder import reorder_dataset

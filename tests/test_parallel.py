@@ -218,3 +218,14 @@ def test_chunk_fallback_matches_dense(setup, mesh42):
     sc_d = dg.gather_edge_vector(jax.jit(dg.sddmm)(xs))
     sc_c = dgc.gather_edge_vector(jax.jit(dgc.sddmm)(dgc.shard_features(x)))
     np.testing.assert_allclose(sc_d, sc_c, rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_split_is_nontrivial_and_used(setup):
+    dg, sg, x, a, ptr, cols = setup
+    assert dg._use_overlap
+    ov = dg.host_fwd.overlap
+    n_local = int((np.asarray(ov["local"]["a_tiles"]) != 0).any(axis=(2, 3)).sum())
+    n_remote = int((np.asarray(ov["remote"]["a_tiles"]) != 0).any(axis=(2, 3)).sum())
+    # window-aligned contiguous partitioning + local graph structure must
+    # yield real blocks in BOTH classes
+    assert n_local > 0 and n_remote > 0, (n_local, n_remote)
