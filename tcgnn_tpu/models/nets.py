@@ -15,6 +15,7 @@ the forward pass (dropout active only when a PRNG key is given, matching
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -64,8 +65,6 @@ def apply_net(
     -inf before the log_softmax — used by the distributed trainer when the
     class dim is padded up for even feature-axis sharding.  ``norm`` enables
     symmetric GCN normalization (see ``layers.gcn_conv``)."""
-    import functools
-
     conv = {"gcn": L.gcn_conv, "gin": L.gin_conv, "agnn": L.agnn_conv}[kind]
     if kind == "gcn" and norm is not None:
         conv = functools.partial(L.gcn_conv, norm=norm)

@@ -212,7 +212,6 @@ class DistributedTiledGraph:
         wd = self.host_fwd.windows_per_shard
         interpret = self.interpret
         d_tile = self.d_tile
-        e_cap = self.edge_capacity
         pf = self.pf
 
         meta_specs = tuple(P("graph") for _ in _META_FIELDS)

@@ -374,7 +374,6 @@ def partition_graph(
     G, e_max_t = bwd.num_shards, bwd.edge_capacity
     e_max_f = fwd.edge_capacity
     sentinel = G * e_max_f
-    fwd_counts = np.diff(fwd.edge_start)
 
     fwd_slot_of_global = np.empty(fwd.num_edges + 1, dtype=np.int64)
     for s in range(G):
@@ -404,5 +403,4 @@ def partition_graph(
             t_src.astype(np.int64)[global_t]
         ].astype(np.int32)
     bwd.edge_fwd_slot = edge_fwd_slot
-    del fwd_counts
     return fwd, bwd

@@ -127,7 +127,6 @@ def test_dsddmm_grad_matches_single_device(setup):
     dg, sg, x, a, ptr, cols = setup
     n, d = x.shape
     xs = dg.shard_features(x)
-    valid = dg.valid_node_mask()  # noqa: F841
 
     # weight the edge scores so the grad isn't symmetric-trivial
     wvec = np.arange(dg.num_edges, dtype=np.float32) % 7 - 3
