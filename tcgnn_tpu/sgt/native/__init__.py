@@ -66,6 +66,8 @@ def load():
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, i64p, i32p, i64p,
         ]
         lib.sgt_naive_count.restype = None
+        lib.sgt_rcm.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
+        lib.sgt_rcm.restype = None
         _lib = lib
         return _lib
 
@@ -93,6 +95,21 @@ def naive_count(row_ptr: np.ndarray, col_idx: np.ndarray, blk_h: int, blk_w: int
     if n_rows:
         lib.sgt_naive_count(n_rows, blk_h, blk_w, row_ptr, col_idx, out)
     return out
+
+
+def rcm(sym_row_ptr: np.ndarray, sym_col_idx: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation (perm[new] = old) of a symmetric CSR."""
+    lib = load()
+    n = len(sym_row_ptr) - 1
+    out = np.zeros(n, np.int32)
+    if n:
+        lib.sgt_rcm(
+            n,
+            np.ascontiguousarray(sym_row_ptr, np.int64),
+            np.ascontiguousarray(sym_col_idx, np.int32),
+            out,
+        )
+    return out.astype(np.int64)
 
 
 def fill(

@@ -117,4 +117,48 @@ void sgt_naive_count(int64_t n_rows, int blk_h, int blk_w,
   }
 }
 
+// Reverse Cuthill-McKee ordering over a *symmetric* CSR (caller passes
+// A + A^T).  BFS from min-degree seeds, neighbors enqueued in degree order,
+// final order reversed.  Replaces scipy's implementation, which takes ~70 s
+// on 3M-edge graphs where this takes ~1 s.
+void sgt_rcm(int64_t n, const int64_t* row_ptr, const int32_t* col_idx,
+             int32_t* perm_out /* [n]: perm[new] = old */) {
+  std::vector<int64_t> deg(n);
+  for (int64_t i = 0; i < n; ++i) deg[i] = row_ptr[i + 1] - row_ptr[i];
+
+  std::vector<int32_t> by_deg(n);
+  for (int64_t i = 0; i < n; ++i) by_deg[i] = (int32_t)i;
+  std::sort(by_deg.begin(), by_deg.end(),
+            [&](int32_t a, int32_t b) { return deg[a] < deg[b]; });
+
+  std::vector<char> visited(n, 0);
+  std::vector<int32_t> order;
+  order.reserve(n);
+  std::vector<std::pair<int64_t, int32_t>> nbrs;
+  size_t seed_cursor = 0;
+
+  while ((int64_t)order.size() < n) {
+    while (seed_cursor < by_deg.size() && visited[by_deg[seed_cursor]])
+      ++seed_cursor;
+    int32_t seed = by_deg[seed_cursor];
+    visited[seed] = 1;
+    size_t head = order.size();
+    order.push_back(seed);
+    while (head < order.size()) {
+      int32_t u = order[head++];
+      nbrs.clear();
+      for (int64_t e = row_ptr[u]; e < row_ptr[u + 1]; ++e) {
+        int32_t v = col_idx[e];
+        if (!visited[v]) {
+          visited[v] = 1;
+          nbrs.emplace_back(deg[v], v);
+        }
+      }
+      std::sort(nbrs.begin(), nbrs.end());
+      for (auto& p : nbrs) order.push_back(p.second);
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) perm_out[i] = order[n - 1 - i];
+}
+
 }  // extern "C"

@@ -66,3 +66,14 @@ def test_reorder_dataset_reduces_or_keeps_blocks():
     # dataset stays structurally valid
     assert ds.row_pointers[-1] == len(ds.column_index)
     assert ds.x.shape[0] == ds.num_nodes
+
+
+def test_reorder_permutes_masks_consistently():
+    ds = synthesize("planted_500_3000", dim=8, num_classes=3, seed=4)
+    y_of_train = set(ds.y[ds.train_mask].tolist())
+    n_train = int(ds.train_mask.sum())
+    reorder_dataset(ds, "rcm")
+    assert int(ds.train_mask.sum()) == n_train
+    # labels selected by the mask are the same multiset after the permutation
+    assert set(ds.y[ds.train_mask].tolist()) == y_of_train
+    assert not (ds.train_mask & ds.test_mask).any()
