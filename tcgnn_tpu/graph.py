@@ -68,13 +68,21 @@ class TiledGraph:
         self.symmetric = symmetric
         self.interpret = interpret
 
-        # Transpose CSR up front: structure can be shared when the caller
-        # declares the adjacency symmetric (skipping a second tiling pass),
-        # but the per-edge permutation is always needed — edge *weights* live
-        # in CSR edge order, and aggregating along A^T needs them in
-        # transpose order even when the structure is symmetric.
+        # Transpose CSR up front: structure can be shared when the adjacency
+        # is symmetric (skipping a second tiling pass and tile upload), but
+        # the per-edge permutation is always needed — edge *weights* live in
+        # CSR edge order, and aggregating along A^T needs them in transpose
+        # order even when the structure is symmetric.  Symmetry is
+        # auto-detected by comparing the transpose CSR (cheap array
+        # equality); all the reference AE graphs are symmetrized.
         t_ptr, t_idx, t_src = transpose_csr(row_pointers, column_index, num_nodes)
         self._t_edge_src = jnp.asarray(t_src)
+        if not symmetric and len(t_ptr) == len(row_pointers):
+            symmetric = bool(
+                np.array_equal(np.asarray(t_ptr, np.int64), np.asarray(row_pointers, np.int64))
+                and np.array_equal(np.asarray(t_idx, np.int64), np.asarray(column_index, np.int64))
+            )
+        self.symmetric = symmetric
 
         # Dense-tile fast path: materialize the SGT-condensed A-tiles as
         # dense [B, blk_h, blk_w] blocks (exactly the format whose footprint
