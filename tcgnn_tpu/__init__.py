@@ -9,5 +9,14 @@ never had.
 """
 
 from tcgnn_tpu.config import DEFAULT_CONFIG, GPU_REFERENCE_CONFIG, TileConfig
+from tcgnn_tpu.graph import TiledGraph, tiled_graph_from_dataset
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "DEFAULT_CONFIG",
+    "GPU_REFERENCE_CONFIG",
+    "TileConfig",
+    "TiledGraph",
+    "tiled_graph_from_dataset",
+]

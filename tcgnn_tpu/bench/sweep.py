@@ -33,6 +33,8 @@ def run_one(module_main, name, dim, classes, args, extra=()):
         "--hidden", str(args.hidden),
         "--data_dir", args.data_dir,
         "--dtype", args.dtype,
+        *(("--reorder", args.reorder) if getattr(args, "reorder", "none") != "none"
+          and module_main.__module__ == "tcgnn_tpu.train" else ()),
         *extra,
     ]
     try:
@@ -54,6 +56,7 @@ def main(argv=None):
     p.add_argument("--num_layers", type=int, default=None)
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--skip_baseline", action="store_true")
+    p.add_argument("--reorder", default="none", choices=["none", "rcm"])
     p.add_argument(
         "--single_kernel", action="store_true",
         help="profile one SAG SpMM per dataset instead of training "

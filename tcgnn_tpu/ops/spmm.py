@@ -7,31 +7,38 @@ builds a binary (or attention-weighted) 16x8 A-tile in shared memory from
 ``edgeToColumn/edgeToRow``, gathers 8 neighbor feature rows, and runs a WMMA
 ``acc += A @ X_gathered``.
 
-On TPU the same dataflow becomes:
+Two TPU formulations live here:
 
-* **grid = (d_tiles, edge_chunks)** — SGT lays edges out in uniform
-  ``edge_chunk``-sized chunks sorted by (window, TC block), so the grid is
-  rectangular no matter how skewed the degree distribution is.  Per-chunk
-  scalars (owning block / window / first-in-window flag) ride in SMEM via
-  ``PrefetchScalarGridSpec`` and drive the input/output index maps.
-* **one-hot MXU matmuls instead of shared-memory scatter** — a TPU kernel
-  cannot scatter into VMEM the way CUDA scatters into shared memory, so the
-  A-tile is never materialized.  For a chunk with rows ``r_k``, condensed
-  cols ``c_k`` and weights ``w_k``:
+**Dense-tile path (default)** — ``spmm_tc_dense``: the SGT-condensed A-tiles
+are materialized ONCE at preprocessing as dense ``[B, blk_h, blk_w]`` int8
+blocks (exactly the format whose footprint the reference reports as
+``Exp_Edges``, TCGNN.cpp:225) instead of being rebuilt in shared memory on
+every launch.  The kernel is then a pure block matmul:
 
-      gathered = Cᵀ-contract(onehot(c), Xg)   # [EC, D]  pick neighbor rows
-      out     += (onehot(r) * w) @ gathered    # [blk_h, D]  scatter-add rows
+* **condensed gather** — ``Xg = X[col_ids]``: only *unique* neighbors per
+  window are gathered (the point of TC-GNN), one XLA gather feeding the
+  kernel, cast to bf16 *before* the gather in bf16 mode;
+* **grid = (d_tiles, blocks/group)** — each step DMAs a slab of consecutive
+  same-window tiles + features and runs MXU matmuls; per-group scalars
+  (window, first flag) ride in SMEM via ``PrefetchScalarGridSpec``;
+* **output revisiting** — a window's blocks are consecutive, so its output
+  tile accumulates in VMEM and spills once per (window, d-tile), like the
+  WMMA accumulator's single epilogue store (TCGNN_kernel.cu:453);
+* **narrow feature dims stay narrow** — blocks whose last dim equals the
+  array dim avoid 128-lane padding traffic for hidden sizes like 16.
 
-  Both are dense MXU ops; padding slots use row sentinel ``blk_h`` whose
-  one-hot is all-zero, so they contribute nothing (the analogue of zeros in
-  the GPU's shared-mem tile, TCGNN_kernel.cu:399-408).
-* **condensed gather** — ``Xg = X[col_ids]``: SGT's column condensation
-  means only *unique* neighbors per window are gathered (the whole point of
-  TC-GNN), done as one XLA gather feeding the kernel.
-* **output revisiting** — chunks of one window are consecutive, so the
-  output tile accumulates in VMEM and spills to HBM once per (window,
-  d-tile), like the WMMA accumulator's single epilogue store
-  (TCGNN_kernel.cu:453).
+**Chunk path (fallback)** — ``spmm_tc``: for graphs whose dense-tile index
+space overflows int32 / the memory budget, edges stream through uniform
+``edge_chunk`` slots and the A-tile is formed on the fly with one-hot MXU
+contractions (a TPU kernel cannot scatter into VMEM the way CUDA scatters
+into shared memory):
+
+    gathered = Cᵀ-contract(onehot(c), Xg)   # [EC, D]  pick neighbor rows
+    out     += (onehot(r) * w) @ gathered    # [blk_h, D]  scatter-add rows
+
+Padding slots use row sentinel ``blk_h`` whose one-hot is all-zero, so they
+contribute nothing (the analogue of zeros in the GPU's shared-mem tile,
+TCGNN_kernel.cu:399-408).
 """
 
 from __future__ import annotations
