@@ -94,7 +94,8 @@ class TiledGraph:
         nb_f = count_blocks(row_pointers, column_index, num_nodes, config)
         nb_t = nb_f if symmetric else count_blocks(t_ptr, t_idx, num_nodes, config)
         fits_int32 = max(nb_f, nb_t) * tile_elems < 2**31
-        dense_bytes = (nb_f + nb_t) * tile_elems * 4
+        # Structural tiles are int8 and shared when symmetric.
+        dense_bytes = (nb_f if symmetric else nb_f + nb_t) * tile_elems
         if dense_tiles is None:
             dense_tiles = fits_int32 and dense_bytes <= DENSE_TILE_BUDGET_BYTES
         elif dense_tiles and not fits_int32:
