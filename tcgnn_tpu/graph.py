@@ -27,8 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
-from tcgnn_tpu.ops.sddmm import sddmm_tc, sddmm_tc_dense
-from tcgnn_tpu.ops.spmm import build_a_tiles, spmm_tc, spmm_tc_dense
+from tcgnn_tpu.ops.sddmm import sddmm_tc, sddmm_tc_dense, sddmm_tc_dense_tiles
+from tcgnn_tpu.ops.spmm import (
+    _spmm_colspace_padded,
+    _spmm_fused_padded,
+    build_a_tiles,
+    spmm_tc,
+    spmm_tc_dense,
+)
 from tcgnn_tpu.sgt.translate import (
     build_a_tiles_host,
     count_blocks,
@@ -145,7 +151,7 @@ class TiledGraph:
         )
 
         ops = self._make_ops(*self._device_arrays)
-        self.spmm, self.spmm_weighted, self.sddmm = ops
+        self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
 
     # --- statistics (reference's preprocess printout, TCGNN.cpp:225) -------
     @property
@@ -263,7 +269,75 @@ class TiledGraph:
             return (d_rows + d_cols,)
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)
-        return spmm, spmm_weighted, sddmm
+
+        # ---- fused AGNN aggregation (tile-space attention) ----------------
+        # AGNN's edge attention is  att_e = c_h * e_e  with e = SDDMM(x), so
+        # the weighted adjacency is  cbar * (A_struct ⊙ S)  where S are the
+        # score tiles the dense SDDMM already produces — the per-edge
+        # scatter/gather round-trip (and the multi-GB weighted-tile
+        # materialization) disappears entirely.  Symmetric graphs only: the
+        # transpose-side gradient reuses the same tiling (A^T tiles == A
+        # tiles, S symmetric), with the column-space kernel covering the
+        # second SDDMM gradient term.
+        agnn_aggregate = None
+        if self.dense_tiles and self.symmetric:
+            from tcgnn_tpu.ops.spmm import default_interpret
+
+            interp = default_interpret() if interpret is None else interpret
+            cfg = self.config
+            n = self.num_nodes
+
+            def s_tiles(xa, xb):
+                return sddmm_tc_dense_tiles(
+                    xa, meta, xb, interpret=interpret,
+                    out_dtype=cfg.compute_dtype,
+                )
+
+            def fused(x, s):
+                return _spmm_fused_padded(
+                    x, a_struct, s, meta.col_ids, meta.block_window,
+                    meta.block_first_in_window,
+                    cfg=cfg, num_windows=meta.num_windows, interpret=interp,
+                )[: x.shape[0], : x.shape[1]]
+
+            @jax.custom_vjp
+            def agnn_aggregate(x, att_w):
+                cbar = jnp.mean(att_w)
+                return cbar * fused(x, s_tiles(x, x))
+
+            def agnn_fwd(x, att_w):
+                return agnn_aggregate(x, att_w), (x, att_w)
+
+            def agnn_bwd(res, dy):
+                x, att_w = res
+                cbar = jnp.mean(att_w)
+                s = s_tiles(x, x)       # rematerialized, e_ij = <x_i, x_j>
+                t = s_tiles(dy, x)      # t_ij = <dy_i, x_j>
+                # d x — three terms (see derivation in the commit message):
+                #   (A⊙S) dy            through the aggregated x_j factor
+                #   (A⊙T) x             through e_ij's x_i dependence
+                #   col-space (A⊙T)ᵀ x  through e_ij's x_j dependence
+                t1 = fused(dy, s)
+                t2a = fused(x, t)
+                ycol = _spmm_colspace_padded(
+                    x, a_struct, t, meta.block_window,
+                    cfg=cfg, num_windows=meta.num_windows, interpret=interp,
+                )[:, : x.shape[1]]
+                t2b = (
+                    jnp.zeros((n, x.shape[1]), jnp.float32)
+                    .at[meta.col_ids]
+                    .add(ycol)
+                )
+                dx = cbar * (t1 + t2a + t2b)
+                # d att: out scales linearly in mean(att_w).
+                u = fused(x, s)
+                d_cbar = jnp.vdot(dy.astype(jnp.float32), u)
+                datt = jnp.full(att_w.shape, d_cbar / att_w.size, att_w.dtype)
+                return dx, datt
+
+            agnn_aggregate.defvjp(agnn_fwd, agnn_bwd)
+
+        return spmm, spmm_weighted, sddmm, agnn_aggregate
 
 
 class BoundGraph:
@@ -274,7 +348,7 @@ class BoundGraph:
     """
 
     def __init__(self, parent: TiledGraph, ops):
-        self.spmm, self.spmm_weighted, self.sddmm = ops
+        self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
         self.num_nodes = parent.num_nodes
         self.num_edges = parent.num_edges
         self.config = parent.config

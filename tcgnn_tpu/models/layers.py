@@ -96,8 +96,18 @@ def gin_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
 
 def agnn_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
     """Projection -> SDDMM edge scores -> per-head attention -> weighted SpMM
-    (gnn_conv.py:117-136)."""
+    (gnn_conv.py:117-136).
+
+    When the graph offers the fused tile-space aggregation (symmetric +
+    dense tiles), the whole scores->attention->weighted-aggregate pipeline
+    collapses into it: attention here is ``att_e = c_h * e_e``, so the
+    head-averaged output is ``mean(c) * (A ⊙ S) X`` — mathematically
+    identical, with no per-edge scatter/gather round trip.
+    """
     x_prime = jnp.dot(x, params["weights"], preferred_element_type=jnp.float32)
+    fused = getattr(graph, "agnn_aggregate", None)
+    if fused is not None:
+        return fused(x_prime, params["attention_w"])
     edge_feature = graph.sddmm(x_prime)  # [n_e]
     # [n_e, 1] @ [1, n_heads] -> [n_e, n_heads]  (gnn_conv.py:128)
     edge_attentions = edge_feature[:, None] * params["attention_w"]

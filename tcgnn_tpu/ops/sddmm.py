@@ -185,15 +185,16 @@ def _sddmm_grouped_kernel(
 
         @pl.when(d == 0)
         def _():
-            o_ref[k] = s
+            o_ref[k] = s.astype(o_ref.dtype)
 
         @pl.when(d != 0)
         def _():
-            o_ref[k] += s
+            o_ref[k] += s.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_windows", "interpret", "d_tile")
+    jax.jit,
+    static_argnames=("cfg", "num_windows", "interpret", "d_tile", "out_dtype"),
 )
 def _sddmm_dense_padded(
     xa: jnp.ndarray,
@@ -205,8 +206,9 @@ def _sddmm_dense_padded(
     num_windows: int,
     interpret: bool,
     d_tile: int = 128,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Returns flat score tiles [B, blk_h, blk_w] f32.
+    """Returns flat score tiles [B, blk_h, blk_w] in ``out_dtype``.
 
     Grouped like the SpMM: each grid step owns ``block_group`` consecutive
     blocks of ONE window (SGT pads per-window block counts), so the window's
@@ -223,6 +225,10 @@ def _sddmm_dense_padded(
     else:
         d_pad = d_blk = _round_up(max(d, 1), 8)
     n_dtiles = d_pad // d_blk
+    # Sub-f32 tiles accumulate across d-tiles only when n_dtiles > 1; keep
+    # f32 in that case so the VMEM accumulation stays exact.
+    if n_dtiles > 1:
+        out_dtype = jnp.float32
 
     if cfg.compute_dtype == jnp.bfloat16:
         xa = xa.astype(jnp.bfloat16)
@@ -259,7 +265,7 @@ def _sddmm_dense_padded(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_blocks, cfg.blk_h, cfg.blk_w), jnp.float32
+            (n_blocks, cfg.blk_h, cfg.blk_w), out_dtype
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -269,6 +275,39 @@ def _sddmm_dense_padded(
             transcendentals=0,
         ),
     )(gwin, xa_pad, xg)
+
+
+def sddmm_tc_dense_tiles(
+    xa: jnp.ndarray,
+    meta: JaxSGTMeta,
+    xb: jnp.ndarray | None = None,
+    *,
+    interpret: bool | None = None,
+    d_tile: int = 128,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Dense-tile SDDMM returning the raw score tiles [B, blk_h, blk_w].
+
+    Scores at non-edge tile positions are garbage (full window x condensed
+    dot products) — consumers must mask with the structural tiles.  This is
+    the tile-space interface the fused AGNN path builds on: attention
+    weights of the form ``c * e`` never need the per-edge scatter at all.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    if xb is None:
+        xb = xa
+    return _sddmm_dense_padded(
+        xa,
+        xb,
+        meta.col_ids,
+        meta.block_window,
+        cfg=meta.config,
+        num_windows=meta.num_windows,
+        interpret=interpret,
+        d_tile=d_tile,
+        out_dtype=out_dtype,
+    )
 
 
 def sddmm_tc_dense(

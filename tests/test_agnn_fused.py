@@ -1,0 +1,96 @@
+"""Fused tile-space AGNN aggregation vs the per-edge reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcgnn_tpu.config import TileConfig
+from tcgnn_tpu.data.dataset import coo_to_csr
+from tcgnn_tpu.data.synthetic import powerlaw_graph
+from tcgnn_tpu.graph import TiledGraph
+from tcgnn_tpu.models import layers as L
+
+CFG = TileConfig(blk_h=16, blk_w=16, edge_chunk=16)
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    n = 180
+    src, dst = powerlaw_graph(n, 1100, seed=7)  # symmetrized generator
+    ptr, cols = coo_to_csr(src, dst, n)
+    g_fused = TiledGraph(ptr, cols, n, CFG)
+    assert g_fused.symmetric and g_fused.agnn_aggregate is not None
+    g_ref = TiledGraph(ptr, cols, n, CFG, dense_tiles=False)
+    assert g_ref.agnn_aggregate is None  # falls back to per-edge path
+    return g_fused, g_ref, n
+
+
+def test_fused_agnn_matches_per_edge_path(graphs):
+    g_fused, g_ref, n = graphs
+    d = 12
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+    params = L.init_agnn(jax.random.PRNGKey(1), d, 8, n_heads=2)
+    out_f = L.agnn_conv(params, x, g_fused)
+    out_r = L.agnn_conv(params, x, g_ref)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_r), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_agnn_grads_match(graphs):
+    g_fused, g_ref, n = graphs
+    d = 10
+    x = jax.random.normal(jax.random.PRNGKey(2), (n, d), jnp.float32)
+    params = L.init_agnn(jax.random.PRNGKey(3), d, 6, n_heads=1)
+
+    def loss(g):
+        def f(p, xx):
+            return jnp.sum(jnp.tanh(L.agnn_conv(p, xx, g) * 0.1))
+        return f
+
+    gf_p, gf_x = jax.grad(loss(g_fused), argnums=(0, 1))(params, x)
+    gr_p, gr_x = jax.grad(loss(g_ref), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gr_x), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gf_p["weights"]), np.asarray(gr_p["weights"]), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf_p["attention_w"]),
+        np.asarray(gr_p["attention_w"]),
+        rtol=1e-3,
+        atol=1e-4,
+    )
+
+
+def test_fused_agnn_numeric_grad(graphs):
+    """Finite-difference check of the custom VJP itself."""
+    g_fused, _, n = graphs
+    d = 8
+    x = jax.random.normal(jax.random.PRNGKey(4), (n, d), jnp.float32) * 0.3
+    att = jnp.asarray([[0.7]])
+
+    def f(xx, aa):
+        return jnp.sum(jnp.sin(g_fused.agnn_aggregate(xx, aa)))
+
+    gx = np.asarray(jax.grad(f, argnums=0)(x, att))
+    ga = float(jax.grad(f, argnums=1)(x, att)[0, 0])
+
+    eps = 1e-3
+    for idx in [(0, 0), (n // 2, d - 1), (n - 1, 3)]:
+        xp = x.at[idx].add(eps)
+        xm = x.at[idx].add(-eps)
+        num = (float(f(xp, att)) - float(f(xm, att))) / (2 * eps)
+        np.testing.assert_allclose(gx[idx], num, rtol=2e-2, atol=2e-3)
+    num_a = (float(f(x, att + eps)) - float(f(x, att - eps))) / (2 * eps)
+    np.testing.assert_allclose(ga, num_a, rtol=2e-2, atol=2e-3)
+
+
+def test_directed_graph_has_no_fused_path():
+    n = 100
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, n, 400)
+    dst = (src + 1 + rng.integers(0, n - 1, 400)) % n
+    ptr, cols = coo_to_csr(src, dst, n)
+    g = TiledGraph(ptr, cols, n, CFG)
+    assert not g.symmetric and g.agnn_aggregate is None
