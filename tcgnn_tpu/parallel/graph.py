@@ -37,7 +37,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
-from tcgnn_tpu.ops.spmm import _spmm_dense_padded, _spmm_padded, default_interpret
+from tcgnn_tpu.ops.spmm import (
+    _spmm_colspace_padded,
+    _spmm_dense_padded,
+    _spmm_fused_padded,
+    _spmm_padded,
+    default_interpret,
+)
 from tcgnn_tpu.ops.sddmm import _sddmm_dense_padded, _sddmm_padded
 from tcgnn_tpu.parallel.partition import ShardedSGTMeta, partition_graph
 
@@ -131,6 +137,20 @@ class DistributedTiledGraph:
         self.num_edges = int(len(column_index))
         self.d_tile = d_tile
         self.interpret = default_interpret() if interpret is None else interpret
+
+        # Symmetric-adjacency detection (same check as TiledGraph): enables
+        # the fused tile-space AGNN path, whose transpose-side gradient
+        # reuses the forward shard tiling.
+        from tcgnn_tpu.sgt.translate import transpose_csr
+
+        t_ptr, t_idx, _ = transpose_csr(
+            np.asarray(row_pointers), np.asarray(column_index), self.num_nodes
+        )
+        self.symmetric = bool(
+            len(t_ptr) == len(row_pointers)
+            and np.array_equal(np.asarray(t_ptr, np.int64), np.asarray(row_pointers, np.int64))
+            and np.array_equal(np.asarray(t_idx, np.int64), np.asarray(column_index, np.int64))
+        )
 
         fwd, bwd = partition_graph(
             row_pointers, column_index, self.num_nodes, self.pg, config
@@ -350,6 +370,79 @@ class DistributedTiledGraph:
             )
             return out_local + out_remote
 
+        # ---- fused tile-space AGNN (symmetric graphs; see TiledGraph) ------
+        self._agnn_fwd_sm = self._agnn_bwd_sm = None
+        if self.dense_tiles and self.symmetric:
+            AG_FIELDS = ("a_tiles", "col_ids", "block_window", "block_first_in_window")
+            ag_specs = tuple(P("graph") for _ in AG_FIELDS)
+            npad = self.padded_nodes
+            self._ag_fields = AG_FIELDS
+
+            def s_tiles_loc(xa_loc, x_full, m):
+                s = _sddmm_dense_padded(
+                    xa_loc, x_full, m["col_ids"][0], m["block_window"][0],
+                    cfg=cfg, num_windows=wd, interpret=interpret,
+                    out_dtype=cfg.compute_dtype,
+                )
+                if pf > 1:  # scores contract over the full feature dim
+                    s = jax.lax.psum(s.astype(jnp.float32), "feature").astype(s.dtype)
+                return s
+
+            def fused_loc(x_full, s, m):
+                return _spmm_fused_padded(
+                    x_full, m["a_tiles"][0], s, m["col_ids"][0],
+                    m["block_window"][0], m["block_first_in_window"][0],
+                    cfg=cfg, num_windows=wd, interpret=interpret,
+                )
+
+            def local_agnn_fwd(x_loc, *meta):
+                m = dict(zip(AG_FIELDS, meta))
+                x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
+                s = s_tiles_loc(x_loc, x_full, m)
+                return fused_loc(x_full, s, m)[:, : x_loc.shape[1]]
+
+            def local_agnn_bwd(x_loc, dy_loc, *meta):
+                m = dict(zip(AG_FIELDS, meta))
+                d = x_loc.shape[1]
+                x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
+                dy_full = jax.lax.all_gather(dy_loc, "graph", axis=0, tiled=True)
+                s = s_tiles_loc(x_loc, x_full, m)     # e tiles (local rows)
+                t = s_tiles_loc(dy_loc, x_full, m)    # <dy_i, x_j> tiles
+                t1 = fused_loc(dy_full, s, m)[:, :d]
+                t2a = fused_loc(x_full, t, m)[:, :d]
+                # column-space term: contributions of local rows i to any
+                # node j — scatter into the global node space, reduce across
+                # shards, keep this shard's slice.
+                ycol = _spmm_colspace_padded(
+                    x_loc, m["a_tiles"][0], t, m["block_window"][0],
+                    cfg=cfg, num_windows=wd, interpret=interpret,
+                )[:, :d]
+                scat = (
+                    jnp.zeros((npad, d), jnp.float32)
+                    .at[m["col_ids"][0]]
+                    .add(ycol)
+                )
+                t2b = jax.lax.psum_scatter(
+                    scat, "graph", scatter_dimension=0, tiled=True
+                )
+                u = fused_loc(x_full, s, m)[:, :d]
+                dc = jnp.vdot(dy_loc.astype(jnp.float32), u)
+                dc = jax.lax.psum(dc, "graph")
+                if pf > 1:
+                    dc = jax.lax.psum(dc, "feature")
+                return t1 + t2a + t2b, dc
+
+            self._agnn_fwd_sm = self._shardmap(
+                local_agnn_fwd,
+                in_specs=(node_spec,) + ag_specs,
+                out_specs=node_spec,
+            )
+            self._agnn_bwd_sm = self._shardmap(
+                local_agnn_bwd,
+                in_specs=(node_spec, node_spec) + ag_specs,
+                out_specs=(node_spec, P()),
+            )
+
         if self.dense_tiles:
             fields, spmm_fn, sddmm_fn = _DENSE_FIELDS, local_spmm_dense, local_sddmm_dense
         else:
@@ -400,9 +493,12 @@ class DistributedTiledGraph:
             zero_w,
             self._fwd.get("overlap") if use_overlap else None,
             self._bwd.get("overlap") if use_overlap else None,
+            tuple(self._fwd[k] for k in self._ag_fields)
+            if self._agnn_fwd_sm is not None
+            else None,
         )
         ops = self._make_ops(*self._device_arrays)
-        self.spmm, self.spmm_weighted, self.sddmm = ops
+        self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
 
     # --- jit-boundary plumbing ---------------------------------------------
     def arrays(self):
@@ -413,7 +509,9 @@ class DistributedTiledGraph:
     def bind(self, device_arrays) -> "BoundDistributedGraph":
         return BoundDistributedGraph(self, self._make_ops(*device_arrays))
 
-    def _make_ops(self, fwd_meta, bwd_meta_slot, zero_w, ov_fwd=None, ov_bwd=None):
+    def _make_ops(
+        self, fwd_meta, bwd_meta_slot, zero_w, ov_fwd=None, ov_bwd=None, ag_meta=None
+    ):
         bwd_meta = bwd_meta_slot[:-1]
         if self._use_overlap:
             spmm_u_fwd_args = ov_fwd
@@ -480,14 +578,37 @@ class DistributedTiledGraph:
             return (d_rows + d_cols,)
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)
-        return spmm, spmm_weighted, sddmm
+
+        # ---- fused AGNN aggregation (see local_agnn_* in _build_ops) -------
+        agnn_aggregate = None
+        if ag_meta is not None and self._agnn_fwd_sm is not None:
+            _ag_fwd, _ag_bwd = self._agnn_fwd_sm, self._agnn_bwd_sm
+
+            @jax.custom_vjp
+            def agnn_aggregate(x, att_w):
+                cbar = jnp.mean(att_w)
+                return cbar * _ag_fwd(pad_d(x), *ag_meta)[:, : x.shape[1]]
+
+            def ag_fwd(x, att_w):
+                return agnn_aggregate(x, att_w), (x, att_w)
+
+            def ag_bwd(res, dy):
+                x, att_w = res
+                cbar = jnp.mean(att_w)
+                dx, dc = _ag_bwd(pad_d(x), pad_d(dy), *ag_meta)
+                datt = jnp.full(att_w.shape, dc / att_w.size, att_w.dtype)
+                return cbar * dx[:, : x.shape[1]], datt
+
+            agnn_aggregate.defvjp(ag_fwd, ag_bwd)
+
+        return spmm, spmm_weighted, sddmm, agnn_aggregate
 
 
 class BoundDistributedGraph:
     """A DistributedTiledGraph's op surface over traced array values."""
 
     def __init__(self, parent: DistributedTiledGraph, ops):
-        self.spmm, self.spmm_weighted, self.sddmm = ops
+        self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
         self.num_nodes = parent.num_nodes
         self.num_edges = parent.num_edges
         self.padded_nodes = parent.padded_nodes
