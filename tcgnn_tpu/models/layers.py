@@ -80,6 +80,19 @@ def gcn_conv(
     applies them (dataset.py:107-108); its DGL baseline does
     (dgl_baseline/train.py:37-39), so parity runs need the option.
     """
+    in_dim, out_dim = params["weights"].shape
+    # A(XW) == (AX)W exactly (diagonal norms commute too); aggregate FIRST
+    # when the input is narrow.  The condensed gather is per-ROW bound, so
+    # aggregating at a small input width costs the same as at the projected
+    # width — and avoids projecting before the (cheap-width) aggregation.
+    # Wide inputs (e.g. citeseer's 3703-dim features) still project first.
+    aggregate_first = in_dim <= max(out_dim, 128)
+    if aggregate_first:
+        h = x if norm is None else x * norm[: x.shape[0], None]
+        agg = graph.spmm(h)
+        if norm is not None:
+            agg = agg * norm[: agg.shape[0], None]
+        return jnp.dot(agg, params["weights"], preferred_element_type=jnp.float32)
     x_prime = jnp.dot(x, params["weights"], preferred_element_type=jnp.float32)
     if norm is not None:
         x_prime = x_prime * norm[: x_prime.shape[0], None]
