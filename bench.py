@@ -39,7 +39,7 @@ def main():
     cfg = TileConfig(compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
 
     t0 = time.perf_counter()
-    graph = tiled_graph_from_dataset(ds)
+    graph = tiled_graph_from_dataset(ds, cfg)
     prep_ms = (time.perf_counter() - t0) * 1e3
 
     x = jnp.asarray(ds.x)

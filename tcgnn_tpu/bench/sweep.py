@@ -56,6 +56,16 @@ def main(argv=None):
     p.add_argument("--num_layers", type=int, default=None)
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--skip_baseline", action="store_true")
+    p.add_argument(
+        "--baseline_impl", default="gather", choices=["gather", "bcoo"],
+        help="incumbent implementation: XLA gather+segment_sum or "
+        "jax.experimental.sparse BCOO",
+    )
+    p.add_argument(
+        "--eval", action="store_true",
+        help="report train/test accuracy per dataset (real-label parity "
+        "check once real .npz graphs are present in --data_dir)",
+    )
     p.add_argument("--reorder", default="none", choices=["none", "rcm"])
     p.add_argument(
         "--single_kernel", action="store_true",
@@ -98,11 +108,17 @@ def main(argv=None):
     rows = []
     for name, dim, classes in table:
         print(f"=== {name} (dim={dim}, classes={classes}) ===", flush=True)
-        ours = run_one(tcgnn_train.main, name, dim, classes, args)
+        ours = run_one(
+            tcgnn_train.main, name, dim, classes, args,
+            extra=("--eval",) if args.eval else (),
+        )
         base = (
             None
             if args.skip_baseline
-            else run_one(xla_baseline.main, name, dim, classes, args)
+            else run_one(
+                xla_baseline.main, name, dim, classes, args,
+                extra=("--impl", args.baseline_impl),
+            )
         )
         rows.append((name, base, ours))
 

@@ -132,14 +132,33 @@ def _finalize(
 
 
 def load_npz(path: str, dim: int, num_classes: int, seed: int = 0, verbose: bool = False) -> GraphDataset:
-    """Load the reference's ``.npz`` graph format (dataset.py:69-83)."""
+    """Load the reference's ``.npz`` graph format (dataset.py:69-83).
+
+    Required keys: ``src_li``, ``dst_li``, ``num_nodes`` — the reference's
+    exact contract (it then synthesizes features and all-ones labels,
+    dataset.py:115,122).  Optional extension keys ``x``, ``y``,
+    ``train_mask``/``val_mask``/``test_mask``: when present, real features/
+    labels/splits are used instead of the synthetic ones, so accuracy-parity
+    runs need no code change once real labeled graphs are available.
+    """
     if not path.endswith(".npz"):
         raise ValueError("graph file must be a .npz file")
     obj = np.load(path, allow_pickle=True)
     src, dst = np.asarray(obj["src_li"]), np.asarray(obj["dst_li"])
     num_nodes = int(obj["num_nodes"])
     name = path.rsplit("/", 1)[-1][: -len(".npz")]
-    return _finalize(name, src, dst, num_nodes, dim, num_classes, seed, verbose=verbose)
+    x = np.asarray(obj["x"], np.float32) if "x" in obj.files else None
+    y = np.asarray(obj["y"], np.int32) if "y" in obj.files else None
+    if y is not None:
+        num_classes = max(num_classes, int(y.max()) + 1)
+    ds = _finalize(
+        name, src, dst, num_nodes, dim, num_classes, seed, x=x, y=y,
+        verbose=verbose,
+    )
+    for mask in ("train_mask", "val_mask", "test_mask"):
+        if mask in obj.files:
+            setattr(ds, mask, np.asarray(obj[mask], bool))
+    return ds
 
 
 def load_txt(path: str, dim: int, num_classes: int, seed: int = 0, verbose: bool = False) -> GraphDataset:

@@ -134,6 +134,8 @@ class TiledGraph:
             # counts, so int8 storage is exact and quarters the HBM traffic
             # of the tile stream (the kernel upcasts to compute_dtype).
             def to_dev(host_tiles):
+                if host_tiles.dtype == np.int8:  # native pass built them
+                    return jnp.asarray(host_tiles)
                 if host_tiles.max(initial=0.0) <= 127:
                     return jnp.asarray(host_tiles.astype(np.int8))
                 return jnp.asarray(host_tiles).astype(config.compute_dtype)

@@ -64,7 +64,8 @@ class ShardedSGTMeta:
     col_ids: np.ndarray           # [G, Bw] int32
     # --- dense-tile path (per-shard, block-padded to the common Bmax) -----
     a_tiles: np.ndarray           # [G, Bmax, blk_h, blk_w] int8 structural tiles
-    block_window: np.ndarray      # [G, Bmax] int32 (local window; pad -> 0)
+    #                               (compute dtype if counts overflow int8)
+    block_window: np.ndarray      # [G, Bmax] int32 (local window; pad -> last)
     block_first_in_window: np.ndarray  # [G, Bmax] int32 (pad -> 0)
     edge_pos: np.ndarray          # [G, Emax] int32 local dense slot (pad -> 0)
     # --- chunk fallback ----------------------------------------------------
@@ -121,6 +122,21 @@ def _stack_shards(
     b_max = -(-max(m.num_blocks for m in metas) // group) * group
     counts = np.diff(edge_start)
     e_max = int(edge_capacity if edge_capacity is not None else max(counts.max(), 1))
+    last_window = rows_per_shard // config.blk_h - 1
+
+    # Structural tiles are int8 like the single-device path (graph.py
+    # to_dev); if any shard holds a multigraph block whose duplicate-edge
+    # count exceeds int8 range, fall back to the compute dtype globally so
+    # stacking stays homogeneous.
+    tiles_per_shard = [build_a_tiles_host(m) for m in metas]
+    if max(t.max(initial=0.0) for t in tiles_per_shard) <= 127:
+        tile_np_dtype = np.int8
+    else:
+        import jax.numpy as jnp
+
+        tile_np_dtype = (
+            np.float32 if config.compute_dtype == jnp.float32 else config.compute_dtype
+        )
 
     col_ids, chunk_r, chunk_c, chunk_eid = [], [], [], []
     chunk_block, chunk_window, chunk_first = [], [], []
@@ -129,24 +145,29 @@ def _stack_shards(
     for s, m in enumerate(metas):
         e_s = int(counts[s])
         col_ids.append(_pad_axis0(m.col_ids, b_max * blk_w, 0))
-        tiles = build_a_tiles_host(m)
-        assert tiles.max(initial=0.0) <= 127, "duplicate-edge count exceeds int8"
-        a_tiles.append(_pad_axis0(tiles.astype(np.int8), b_max, 0))
-        # Padding blocks: zero tiles, window 0, first=0 -> zero contribution
-        # after window 0's real first block has initialized its tile.
-        block_window.append(_pad_axis0(m.block_window, b_max, 0))
+        a_tiles.append(
+            _pad_axis0(tiles_per_shard[s].astype(tile_np_dtype), b_max, 0)
+        )
+        # Cross-shard padding blocks: zero tiles, first=0, window = the
+        # shard's LAST window.  The per-shard tiling already gives every
+        # window >= 1 block (so block_window ends at last_window); padding
+        # with last_window keeps the output index map monotone.  Mosaic only
+        # guarantees output-tile accumulation across *consecutive* grid
+        # steps — padding with window 0 would revisit window 0's output tile
+        # non-consecutively and copy out a stale VMEM buffer on real TPU.
+        block_window.append(_pad_axis0(m.block_window, b_max, last_window))
         block_first.append(_pad_axis0(m.block_first_in_window, b_max, 0))
         edge_pos.append(_pad_axis0(m.edge_pos.astype(np.int32), e_max, 0))
         # Padding chunks: all-sentinel rows -> zero one-hot -> zero
-        # contribution; they point at (window 0, block 0) which real chunk 0
-        # has already initialized (padding is appended after all real chunks).
+        # contribution; window = last window for the same output-map
+        # monotonicity reason as the dense-path padding above.
         chunk_r.append(_pad_axis0(m.chunk_r, cn_max, config.row_sentinel))
         chunk_c.append(_pad_axis0(m.chunk_c, cn_max, 0))
         eid = m.chunk_edge_id.copy()
         eid[eid == m.num_edges] = e_max  # local pad sentinel -> Emax
         chunk_eid.append(_pad_axis0(eid, cn_max, e_max))
         chunk_block.append(_pad_axis0(m.chunk_block, cn_max, 0))
-        chunk_window.append(_pad_axis0(m.chunk_window, cn_max, 0))
+        chunk_window.append(_pad_axis0(m.chunk_window, cn_max, last_window))
         chunk_first.append(_pad_axis0(m.chunk_first_in_window, cn_max, 0))
         edge_perm.append(_pad_axis0(m.edge_perm, e_max, 0))
         valid = np.zeros(e_max, dtype=bool)
@@ -215,14 +236,17 @@ def split_local_remote(
     block_start = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(meta.block_partition.astype(np.int64), out=block_start[1:])
 
+    group = max(int(config.block_group), 1)
     out = {}
     for cls, sel in (("local", ~block_is_remote), ("remote", block_is_remote)):
         # per-window counts in this class, padded so every window owns >= 1
-        # block (the class kernel must write every output tile).
+        # block (the class kernel must write every output tile) and rounded
+        # up to the block-group size so a grid step never straddles windows
+        # (mirrors _pad_blocks for the unsplit tiling).
         cls_per_window = np.add.reduceat(
             sel.astype(np.int64), block_start[:-1]
         ) if num_blocks else np.zeros(num_windows, np.int64)
-        cls_per_window_p = np.maximum(cls_per_window, 1)
+        cls_per_window_p = -(-np.maximum(cls_per_window, 1) // group) * group
         new_start = np.zeros(num_windows + 1, dtype=np.int64)
         np.cumsum(cls_per_window_p, out=new_start[1:])
         nb = int(new_start[-1])
@@ -327,6 +351,9 @@ def _stack_overlap(metas, local_cols_list, rows_per_shard, config):
         classes["remote"].append(rem)
 
     group = max(int(config.block_group), 1)
+    # Cross-shard padding blocks target the LAST window (same output-map
+    # monotonicity requirement as _stack_shards).
+    last_window = rows_per_shard // config.blk_h - 1
     out = {}
     for cls, parts in classes.items():
         b_max = -(-max(p["num_blocks"] for p in parts) // group) * group
@@ -338,7 +365,7 @@ def _stack_overlap(metas, local_cols_list, rows_per_shard, config):
                 [_pad_axis0(p["col_ids"], b_max * config.blk_w, 0) for p in parts]
             ),
             "block_window": np.stack(
-                [_pad_axis0(p["block_window"], b_max, 0) for p in parts]
+                [_pad_axis0(p["block_window"], b_max, last_window) for p in parts]
             ),
             "block_first_in_window": np.stack(
                 [_pad_axis0(p["block_first_in_window"], b_max, 0) for p in parts]

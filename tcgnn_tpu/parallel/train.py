@@ -63,11 +63,14 @@ def make_distributed_train_step(
     optimizer: optax.GradientTransformation,
     dropout_rate: float = 0.5,
     num_valid_classes: Optional[int] = None,
+    norm: Optional[jnp.ndarray] = None,
 ):
     """Jitted full-batch distributed step (forward, masked NLL, Adam).
 
     ``x`` must be placed with ``graph.shard_features``; ``y`` with
-    ``graph.shard_nodes`` (int labels, padded entries arbitrary — masked).
+    ``graph.shard_nodes`` (int labels, padded entries arbitrary — masked);
+    ``norm`` (optional GCN normalization) with ``graph.shard_nodes`` too
+    (padded entries 0, so padded rows stay 0).
     """
     mask = graph.valid_node_mask()
     denom = jnp.asarray(float(graph.num_nodes), jnp.float32)
@@ -82,6 +85,7 @@ def make_distributed_train_step(
             dropout_key=key,
             dropout_rate=dropout_rate,
             num_valid_classes=num_valid_classes,
+            norm=norm,
         )
         nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
         return jnp.sum(nll * mask) / denom

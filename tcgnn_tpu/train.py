@@ -132,31 +132,63 @@ def make_train_step(graph: TiledGraph, kind: str, x, y, optimizer, dropout_rate,
     return step
 
 
-def profile_sag(graph: TiledGraph, x, num_rounds: int = 200):
+def profile_sag(graph, x, num_rounds: int = 200):
     """Single scatter-and-gather kernel profiling (gnn_conv.py:179-189).
 
-    Rounds are chained (each consumes the previous output) so the device
-    cannot overlap them, and timing ends on a *scalar* fetch: on tunneled
-    TPU backends ``block_until_ready`` can return before execution and bulk
-    fetches crawl, so a scalar readback is the only honest sync point.
+    Measures the *unperturbed* kernel two ways:
+
+    * **pipelined** — rounds are chained (each consumes the previous
+      output) with no extra arithmetic; magnitudes may overflow over 200
+      unnormalized aggregations, which is harmless because f32 TPU compute
+      speed is value-independent and only the timing is consumed.
+    * **per-round synced** — the reference's methodology
+      (``gnn_conv.py:179-189`` syncs every round): each round ends on a
+      scalar fetch.  On tunneled backends that fetch pays a network round
+      trip, so the calibrated null-kernel sync overhead is reported
+      alongside for a like-for-like comparison.
+
+    Timing ends on a *scalar* fetch everywhere: on tunneled TPU backends
+    ``block_until_ready`` can return before execution finishes.
     """
     garr = graph.arrays()
-    scale = 1.0 / max(float(graph.num_edges) / max(graph.num_nodes, 1), 1.0)
 
     @jax.jit
     def _run(garr, x):
-        return graph.bind(garr).spmm(x) * scale  # rescale so the chain stays finite
+        return graph.bind(garr).spmm(x)
 
     _ = float(jnp.sum(_run(garr, x)))  # compile + settle
+
     start = time.perf_counter()
     out = x
     for _ in range(num_rounds):
         out = _run(garr, out)
     _ = float(jnp.sum(out))  # forces the whole chain
-    dur = time.perf_counter() - start
-    print("=> SAG profiling avg (ms): {:.3f}".format(dur * 1e3 / num_rounds))
+    pipelined = (time.perf_counter() - start) / num_rounds
+
+    sync_rounds = min(num_rounds, 20)  # each round pays a device round trip
+    start = time.perf_counter()
+    for _ in range(sync_rounds):
+        _ = float(jnp.sum(_run(garr, x)))
+    synced = (time.perf_counter() - start) / sync_rounds
+
+    @jax.jit
+    def _null(x):
+        return jnp.sum(x[:1, :1])
+
+    _ = float(_null(x))
+    start = time.perf_counter()
+    for _ in range(sync_rounds):
+        _ = float(_null(x))
+    sync_overhead = (time.perf_counter() - start) / sync_rounds
+
+    print("=> SAG profiling avg (ms): {:.3f}".format(pipelined * 1e3))
+    print(
+        "=> SAG per-round synced (ms): {:.3f}  [null-kernel sync {:.3f}]".format(
+            synced * 1e3, sync_overhead * 1e3
+        )
+    )
     print()
-    return dur / num_rounds
+    return pipelined
 
 
 def train_distributed(args, ds, cfg):
@@ -178,18 +210,32 @@ def train_distributed(args, ds, cfg):
 
     x = graph.shard_features(ds.x)
     y = graph.shard_nodes(ds.y.astype(np.int32))
+
+    if args.single_kernel:
+        return profile_sag(graph, x) * 1e3
+
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
     params, _, _ = init_distributed_net(
         init_key, args.model, x.shape[1], args.hidden, ds.num_classes,
         args.num_layers, graph,
     )
+    if args.load_params:
+        from tcgnn_tpu.utils import checkpoint as ckpt
+
+        params = ckpt.restore(args.load_params, params)
+        print(f"# restored params from {args.load_params}")
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
     dropout = 0.0 if args.no_dropout else args.dropout
+    norm = (
+        graph.shard_nodes(jnp.asarray(1.0 / ds.norm_degrees(), jnp.float32))
+        if args.gcn_norm
+        else None
+    )
     step = make_distributed_train_step(
         graph, args.model, x, y, optimizer, dropout,
-        num_valid_classes=ds.num_classes,
+        num_valid_classes=ds.num_classes, norm=norm,
     )
 
     loss = None
@@ -203,6 +249,31 @@ def train_distributed(args, ds, cfg):
     train_time = time.perf_counter() - start_train
     print("Final loss:\t{:.6f}".format(final_loss))
     print("Train (ms):\t{:6.3f}".format(train_time * 1e3 / args.epochs))
+
+    if args.eval:
+        garr = graph.arrays()
+        mask = graph.valid_node_mask()
+
+        @jax.jit
+        def predict(params, x, garr):
+            logp = nets.apply_net(
+                params, args.model, x, graph.bind(garr),
+                num_valid_classes=ds.num_classes, norm=norm,
+            )
+            return jnp.argmax(logp, axis=1)
+
+        pred = predict(params, x, garr)
+        for split, m_host in (("train", ds.train_mask), ("test", ds.test_mask)):
+            if m_host.any():
+                m = graph.shard_nodes(m_host.astype(np.float32)) * mask
+                acc = float(jnp.sum((pred == y) * m) / jnp.sum(m))
+                print("Acc {}:\t{:.4f}".format(split, acc))
+
+    if args.save_params:
+        from tcgnn_tpu.utils import checkpoint as ckpt
+
+        path = ckpt.save(args.save_params, params, step=args.epochs)
+        print(f"# saved params to {path}")
     return train_time * 1e3 / args.epochs
 
 

@@ -1,0 +1,188 @@
+"""Regression tests for cross-shard padding in the distributed metadata.
+
+Mosaic only guarantees output-tile accumulation across *consecutive* grid
+steps: if the stacked per-shard block/chunk padding pointed the output index
+map back at window 0 (as it did pre-fix), real TPU hardware would copy out a
+stale VMEM buffer over window 0's result.  The legacy interpreter re-reads
+output blocks every step and hides this, so these tests (a) assert the
+monotone-output-map invariant directly on the host metadata and (b) run the
+distributed ops under JAX's TPU-faithful Pallas interpreter, which raises
+``Revisited block`` for non-consecutive revisits.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from tcgnn_tpu.config import TileConfig
+from tcgnn_tpu.ops.reference import spmm_ref
+from tcgnn_tpu.parallel import DistributedTiledGraph, make_mesh
+from tcgnn_tpu.parallel.partition import partition_graph
+
+CFG = TileConfig(blk_h=16, blk_w=16, edge_chunk=16)
+
+
+def random_csr(n, avg_deg, seed=0):
+    rng = np.random.default_rng(seed)
+    deg = rng.poisson(avg_deg, n).clip(0, n - 1)
+    cols = [np.unique(rng.integers(0, n, d)) for d in deg]
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum([len(c) for c in cols], out=ptr[1:])
+    return ptr.astype(np.int32), np.concatenate(cols).astype(np.int32)
+
+
+def _assert_monotone_output_maps(meta):
+    """Every per-shard output index map the kernels derive must be
+    non-decreasing (consecutive revisits only)."""
+    group = max(int(meta.config.block_group), 1)
+    for s in range(meta.num_shards):
+        bw = meta.block_window[s][::group]
+        assert (np.diff(bw) >= 0).all(), f"shard {s}: dense map revisits"
+        cw = meta.chunk_window[s]
+        assert (np.diff(cw) >= 0).all(), f"shard {s}: chunk map revisits"
+        assert bw[-1] == meta.windows_per_shard - 1
+    if meta.overlap is not None:
+        for cls in ("local", "remote"):
+            w = meta.overlap[cls]["block_window"]
+            for s in range(meta.num_shards):
+                ws = w[s][::group]
+                assert (np.diff(ws) >= 0).all(), f"{cls} shard {s} revisits"
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_stacked_padding_keeps_output_maps_monotone(group):
+    cfg = TileConfig(blk_h=16, blk_w=16, edge_chunk=16, block_group=group)
+    n = 150
+    ptr, cols = random_csr(n, avg_deg=6, seed=3)
+    fwd, bwd = partition_graph(ptr, cols, n, 4, cfg)
+    # Padding must actually be exercised: shards have unequal block counts.
+    per_shard_real = [
+        int((fwd.a_tiles[s] != 0).any(axis=(1, 2)).sum())
+        for s in range(fwd.num_shards)
+    ]
+    assert len(set(per_shard_real)) > 1, per_shard_real
+    _assert_monotone_output_maps(fwd)
+    _assert_monotone_output_maps(bwd)
+
+
+# The strict interpreter deadlocks when invoked concurrently from 8 CPU
+# devices under shard_map (its buffer allocator io_callbacks serialize on
+# global state), so instead of driving DistributedTiledGraph we run each
+# shard's *local* Pallas call — exactly the program a real TPU core would
+# execute, padded metadata included — one at a time under the strict
+# interpreter and assemble the results.
+STRICT = pltpu.InterpretParams(uninitialized_memory="nan")
+
+
+@pytest.fixture(scope="module")
+def strict_setup():
+    n, d = 150, 48
+    ptr, cols = random_csr(n, avg_deg=6, seed=3)
+    fwd, _ = partition_graph(ptr, cols, n, 4, CFG)
+    x = np.random.default_rng(0).standard_normal((n, d)).astype(np.float32)
+    x_full = np.zeros((fwd.padded_nodes, d), np.float32)
+    x_full[:n] = x
+    want = np.asarray(spmm_ref(jnp.asarray(x), jnp.asarray(ptr), jnp.asarray(cols)))
+    return fwd, x, x_full, want, ptr, cols
+
+
+def test_strict_interpret_dense_spmm_per_shard(strict_setup):
+    from tcgnn_tpu.ops.spmm import _spmm_dense_padded
+
+    fwd, x, x_full, want, ptr, cols = strict_setup
+    n, d = x.shape
+    outs = []
+    for s in range(fwd.num_shards):
+        outs.append(
+            np.asarray(
+                _spmm_dense_padded(
+                    jnp.asarray(x_full),
+                    jnp.asarray(fwd.a_tiles[s]),
+                    jnp.asarray(fwd.col_ids[s]),
+                    jnp.asarray(fwd.block_window[s]),
+                    jnp.asarray(fwd.block_first_in_window[s]),
+                    cfg=CFG,
+                    num_windows=fwd.windows_per_shard,
+                    interpret=STRICT,
+                )
+            )
+        )
+    got = np.concatenate(outs)[:n, :d]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_strict_interpret_chunk_spmm_per_shard(strict_setup):
+    from tcgnn_tpu.ops.spmm import _spmm_padded
+
+    fwd, x, x_full, want, ptr, cols = strict_setup
+    n, d = x.shape
+    outs = []
+    for s in range(fwd.num_shards):
+        chunk_w = jnp.zeros_like(jnp.asarray(fwd.chunk_r[s]))
+        outs.append(
+            np.asarray(
+                _spmm_padded(
+                    jnp.asarray(x_full),
+                    jnp.asarray(fwd.col_ids[s]),
+                    jnp.asarray(fwd.chunk_r[s]),
+                    jnp.asarray(fwd.chunk_c[s]),
+                    chunk_w,
+                    jnp.asarray(fwd.chunk_block[s]),
+                    jnp.asarray(fwd.chunk_window[s]),
+                    jnp.asarray(fwd.chunk_first_in_window[s]),
+                    cfg=CFG,
+                    num_windows=fwd.windows_per_shard,
+                    weighted=False,
+                    interpret=STRICT,
+                    d_tile=d,
+                )
+            )
+        )
+    got = np.concatenate(outs)[:n, :d]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_strict_interpret_overlap_classes_per_shard(strict_setup):
+    from tcgnn_tpu.ops.spmm import _spmm_dense_padded
+
+    fwd, x, x_full, want, ptr, cols = strict_setup
+    n, d = x.shape
+    ov = fwd.overlap
+    rows_per_shard = fwd.rows_per_shard
+    outs = []
+    for s in range(fwd.num_shards):
+        x_loc = x_full[s * rows_per_shard : (s + 1) * rows_per_shard]
+        part = np.zeros((rows_per_shard, d), np.float32)
+        for cls, xin in (("local", x_loc), ("remote", x_full)):
+            m = ov[cls]
+            part += np.asarray(
+                _spmm_dense_padded(
+                    jnp.asarray(xin),
+                    jnp.asarray(m["a_tiles"][s]),
+                    jnp.asarray(m["col_ids"][s]),
+                    jnp.asarray(m["block_window"][s]),
+                    jnp.asarray(m["block_first_in_window"][s]),
+                    cfg=CFG,
+                    num_windows=fwd.windows_per_shard,
+                    interpret=STRICT,
+                )
+            )[:, :d]
+        outs.append(part)
+    got = np.concatenate(outs)[:n, :d]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_overflow_falls_back_to_compute_dtype():
+    """Multigraphs with >127 duplicate edges must not crash partitioning
+    (mirrors the single-device to_dev fallback in graph.py)."""
+    n = 48
+    # row 0: 200 copies of neighbor 0; rows 1..n-1: one self-ish edge each
+    cols = np.concatenate([np.zeros(200, np.int64), np.arange(1, n)])
+    ptr = np.zeros(n + 1, np.int64)
+    ptr[1] = 200
+    ptr[2:] = 200 + np.arange(1, n)
+    fwd, bwd = partition_graph(ptr.astype(np.int32), cols.astype(np.int32), n, 2, CFG)
+    assert fwd.a_tiles.dtype != np.int8
+    assert fwd.a_tiles.max() == 200
