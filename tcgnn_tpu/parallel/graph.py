@@ -9,9 +9,14 @@ The reference framework is single-GPU with no distributed layer at all
   ``/root/reference/TCGNN_conv/TCGNN_kernel.cu:355``).
 * **halo exchange** — each shard aggregates rows it owns but reads neighbor
   features owned by any shard.  The GPU kernel's shared-memory gather
-  (``TCGNN_kernel.cu:415-427``) becomes a ``jax.lax.all_gather`` over the
-  ``graph`` axis feeding the local Pallas SpMM/SDDMM; XLA schedules the
-  ICI collective and can overlap it with independent compute.
+  (``TCGNN_kernel.cu:415-427``) becomes a *boundary-only* exchange over the
+  ``graph`` axis: request lists computed at partition time
+  (``partition.build_halo``), one ``jax.lax.all_to_all`` of exactly the
+  boundary rows per op, kernels gathering from a compact
+  ``[rows_per_shard + G*H]`` extended slab.  Per-device feature memory is
+  O(N/G + boundary) and ICI volume O(boundary·d) — not O(N·d) — and XLA
+  overlaps the async collective with the local-block compute (see the
+  overlap split).  The chunk fallback keeps the simpler full all_gather.
 * **per-edge vectors** (SDDMM scores, attention weights) are
   ``[G * edge_capacity]`` arrays sharded on ``graph`` — a shard's edges are
   the contiguous CSR slice of its rows, so no reshuffling is needed between
@@ -65,13 +70,16 @@ _META_FIELDS = (
 )
 
 # Dense-tile path (the default; chunk fields remain the fallback).
+# ``col_ids_ext`` indexes the boundary-halo extended slab (see
+# partition.build_halo) — the dense kernels never see global node ids.
 _DENSE_FIELDS = (
     "a_tiles",
-    "col_ids",
+    "col_ids_ext",
     "block_window",
     "block_first_in_window",
     "edge_pos",
     "edge_valid",
+    "send_idx",
 )
 
 
@@ -80,10 +88,14 @@ _OVERLAP_KEYS = ("a_tiles", "col_ids", "block_window", "block_first_in_window")
 
 def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> dict:
     sh = NamedSharding(mesh, P("graph"))
-    fields = set(_META_FIELDS) | set(_DENSE_FIELDS)
+    fields = (set(_META_FIELDS) | set(_DENSE_FIELDS)) - {"col_ids_ext", "send_idx"}
     out = {
         k: jax.device_put(jnp.asarray(getattr(meta, k)), sh) for k in fields
     }
+    out["col_ids_ext"] = jax.device_put(
+        jnp.asarray(meta.halo["col_ids_ext"]), sh
+    )
+    out["send_idx"] = jax.device_put(jnp.asarray(meta.halo["send_idx"]), sh)
     if with_fwd_slot:
         out["chunk_fwd_slot"] = jax.device_put(
             jnp.asarray(meta.chunk_fwd_slot), sh
@@ -92,8 +104,10 @@ def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> di
             jnp.asarray(meta.edge_fwd_slot), sh
         )
     if meta.overlap is not None:
+        ov = {cls: dict(meta.overlap[cls]) for cls in ("local", "remote")}
+        ov["remote"]["col_ids"] = meta.halo["overlap_remote_col_ids_ext"]
         out["overlap"] = tuple(
-            jax.device_put(jnp.asarray(meta.overlap[cls][k]), sh)
+            jax.device_put(jnp.asarray(ov[cls][k]), sh)
             for cls in ("local", "remote")
             for k in _OVERLAP_KEYS
         )
@@ -296,17 +310,61 @@ class DistributedTiledGraph:
 
         # ---- dense-tile local fns (default path) ---------------------------
         blk_h, blk_w = cfg.blk_h, cfg.blk_w
+        pg = self.pg
+        halo_cap = self.host_fwd.halo["capacity"]
+
+        def halo_exchange(x_loc, send_idx):
+            """Boundary-only halo exchange over the graph axis.
+
+            ``send_idx`` is this shard's ``[1, G, H]`` slice of the request
+            table: local rows destined for each peer.  One all_to_all moves
+            exactly the boundary rows; the result is the extended slab
+            ``[rows_per_shard + G*H, d]`` whose tail holds, per source
+            shard, the rows this shard requested (the layout
+            ``col_ids_ext`` indexes).  Replaces the full feature-matrix
+            all_gather: per-device memory O(N/G + boundary), ICI volume
+            O(boundary * d).
+            """
+            if pg == 1:
+                return x_loc
+            h = send_idx.shape[-1]  # capacity differs fwd vs transpose
+            send = jnp.take(
+                x_loc, send_idx[0].reshape(-1), axis=0, fill_value=0
+            ).reshape(pg, h, x_loc.shape[1])
+            recv = jax.lax.all_to_all(
+                send, "graph", split_axis=0, concat_axis=0, tiled=True
+            )
+            return jnp.concatenate(
+                [x_loc, recv.reshape(pg * h, x_loc.shape[1])], axis=0
+            )
+
+        def halo_reverse_add(y_ext, send_idx):
+            """Transpose of halo_exchange: return partial sums accumulated
+            in the halo tail to their owner rows (adds into the local part).
+            Used by the fused-AGNN column-space gradient term."""
+            rows = wd * blk_h
+            if pg == 1:
+                return y_ext[:rows]
+            h = send_idx.shape[-1]
+            halo = y_ext[rows:].reshape(pg, h, y_ext.shape[1])
+            back = jax.lax.all_to_all(
+                halo, "graph", split_axis=0, concat_axis=0, tiled=True
+            )
+            return y_ext[:rows].at[send_idx[0].reshape(-1)].add(
+                back.reshape(pg * h, y_ext.shape[1])
+            )
 
         def local_spmm_dense(x_loc, w_loc, *meta, weighted, use_fwd_slot):
             names = _DENSE_FIELDS + (("edge_fwd_slot",) if use_fwd_slot else ())
             m = dict(zip(names, meta))
-            x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
+            x_ext = halo_exchange(x_loc, m["send_idx"])
             b_max = m["a_tiles"].shape[1]
             if weighted:
                 size = b_max * blk_h * blk_w
                 if use_fwd_slot:
                     # Forward-ordered weights: gather all shards' slabs, then
-                    # index through the per-t-edge slot table.
+                    # index through the per-t-edge slot table.  (Per-edge
+                    # scalars — O(E) total, small next to features.)
                     w_all = jax.lax.all_gather(w_loc, "graph", axis=0, tiled=True)
                     w_ext = jnp.concatenate([w_all, jnp.zeros((1,), w_all.dtype)])
                     vals = w_ext[m["edge_fwd_slot"][0]]
@@ -321,9 +379,9 @@ class DistributedTiledGraph:
             else:
                 tiles = m["a_tiles"][0]
             return _spmm_dense_padded(
-                x_full,
+                x_ext,
                 tiles,
-                m["col_ids"][0],
+                m["col_ids_ext"][0],
                 m["block_window"][0],
                 m["block_first_in_window"][0],
                 cfg=cfg,
@@ -334,11 +392,11 @@ class DistributedTiledGraph:
 
         def local_sddmm_dense(xa_loc, xb_loc, *meta):
             m = dict(zip(_DENSE_FIELDS, meta))
-            xb_full = jax.lax.all_gather(xb_loc, "graph", axis=0, tiled=True)
+            xb_ext = halo_exchange(xb_loc, m["send_idx"])
             tiles = _sddmm_dense_padded(
                 xa_loc,
-                xb_full,
-                m["col_ids"][0],
+                xb_ext,
+                m["col_ids_ext"][0],
                 m["block_window"][0],
                 cfg=cfg,
                 num_windows=wd,
@@ -353,19 +411,19 @@ class DistributedTiledGraph:
 
         # ---- halo-overlap unweighted SpMM ----------------------------------
         # Blocks whose edges are all shard-resident run against the local
-        # feature slab while the halo all-gather is in flight; XLA's async
+        # feature slab while the boundary exchange is in flight; XLA's async
         # collectives overlap the two.  (The reference has no multi-device
         # analogue; this is the TPU counterpart of overlapping shared-memory
         # loads with WMMA compute inside one GPU kernel.)
         def local_spmm_overlap(x_loc, w_loc, *meta):
-            (lt, lc, lw, lf, rt, rc, rw, rf) = meta
-            x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
+            (send_idx, lt, lc, lw, lf, rt, rc, rw, rf) = meta
+            x_ext = halo_exchange(x_loc, send_idx)
             out_local = _spmm_dense_padded(
                 x_loc, lt[0], lc[0], lw[0], lf[0],
                 cfg=cfg, num_windows=wd, interpret=interpret, d_tile=d_tile,
             )
             out_remote = _spmm_dense_padded(
-                x_full, rt[0], rc[0], rw[0], rf[0],
+                x_ext, rt[0], rc[0], rw[0], rf[0],
                 cfg=cfg, num_windows=wd, interpret=interpret, d_tile=d_tile,
             )
             return out_local + out_remote
@@ -373,14 +431,16 @@ class DistributedTiledGraph:
         # ---- fused tile-space AGNN (symmetric graphs; see TiledGraph) ------
         self._agnn_fwd_sm = self._agnn_bwd_sm = None
         if self.dense_tiles and self.symmetric:
-            AG_FIELDS = ("a_tiles", "col_ids", "block_window", "block_first_in_window")
+            AG_FIELDS = (
+                "a_tiles", "col_ids_ext", "block_window",
+                "block_first_in_window", "send_idx",
+            )
             ag_specs = tuple(P("graph") for _ in AG_FIELDS)
-            npad = self.padded_nodes
             self._ag_fields = AG_FIELDS
 
-            def s_tiles_loc(xa_loc, x_full, m):
+            def s_tiles_loc(xa_loc, x_ext, m):
                 s = _sddmm_dense_padded(
-                    xa_loc, x_full, m["col_ids"][0], m["block_window"][0],
+                    xa_loc, x_ext, m["col_ids_ext"][0], m["block_window"][0],
                     cfg=cfg, num_windows=wd, interpret=interpret,
                     out_dtype=cfg.compute_dtype,
                 )
@@ -388,44 +448,42 @@ class DistributedTiledGraph:
                     s = jax.lax.psum(s.astype(jnp.float32), "feature").astype(s.dtype)
                 return s
 
-            def fused_loc(x_full, s, m):
+            def fused_loc(x_ext, s, m):
                 return _spmm_fused_padded(
-                    x_full, m["a_tiles"][0], s, m["col_ids"][0],
+                    x_ext, m["a_tiles"][0], s, m["col_ids_ext"][0],
                     m["block_window"][0], m["block_first_in_window"][0],
                     cfg=cfg, num_windows=wd, interpret=interpret,
                 )
 
             def local_agnn_fwd(x_loc, *meta):
                 m = dict(zip(AG_FIELDS, meta))
-                x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
-                s = s_tiles_loc(x_loc, x_full, m)
-                return fused_loc(x_full, s, m)[:, : x_loc.shape[1]]
+                x_ext = halo_exchange(x_loc, m["send_idx"])
+                s = s_tiles_loc(x_loc, x_ext, m)
+                return fused_loc(x_ext, s, m)[:, : x_loc.shape[1]]
 
             def local_agnn_bwd(x_loc, dy_loc, *meta):
                 m = dict(zip(AG_FIELDS, meta))
                 d = x_loc.shape[1]
-                x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
-                dy_full = jax.lax.all_gather(dy_loc, "graph", axis=0, tiled=True)
-                s = s_tiles_loc(x_loc, x_full, m)     # e tiles (local rows)
-                t = s_tiles_loc(dy_loc, x_full, m)    # <dy_i, x_j> tiles
-                t1 = fused_loc(dy_full, s, m)[:, :d]
-                t2a = fused_loc(x_full, t, m)[:, :d]
+                x_ext = halo_exchange(x_loc, m["send_idx"])
+                dy_ext = halo_exchange(dy_loc, m["send_idx"])
+                s = s_tiles_loc(x_loc, x_ext, m)     # e tiles (local rows)
+                t = s_tiles_loc(dy_loc, x_ext, m)    # <dy_i, x_j> tiles
+                t1 = fused_loc(dy_ext, s, m)[:, :d]
+                t2a = fused_loc(x_ext, t, m)[:, :d]
                 # column-space term: contributions of local rows i to any
-                # node j — scatter into the global node space, reduce across
-                # shards, keep this shard's slice.
+                # node j — scatter into the extended slab, then return the
+                # halo tail's partials to their owners (reverse exchange).
                 ycol = _spmm_colspace_padded(
                     x_loc, m["a_tiles"][0], t, m["block_window"][0],
                     cfg=cfg, num_windows=wd, interpret=interpret,
                 )[:, :d]
                 scat = (
-                    jnp.zeros((npad, d), jnp.float32)
-                    .at[m["col_ids"][0]]
+                    jnp.zeros((wd * blk_h + pg * halo_cap, d), jnp.float32)
+                    .at[m["col_ids_ext"][0]]
                     .add(ycol)
                 )
-                t2b = jax.lax.psum_scatter(
-                    scat, "graph", scatter_dimension=0, tiled=True
-                )
-                u = fused_loc(x_full, s, m)[:, :d]
+                t2b = halo_reverse_add(scat, m["send_idx"])
+                u = fused_loc(x_ext, s, m)[:, :d]
                 dc = jnp.vdot(dy_loc.astype(jnp.float32), u)
                 dc = jax.lax.psum(dc, "graph")
                 if pf > 1:
@@ -451,7 +509,7 @@ class DistributedTiledGraph:
 
         use_overlap = self.dense_tiles and "overlap" in self._fwd
         if use_overlap:
-            ov_specs = tuple(P("graph") for _ in range(8))
+            ov_specs = tuple(P("graph") for _ in range(9))
             _spmm_u = self._shardmap(
                 local_spmm_overlap,
                 in_specs=(node_spec, edge_spec) + ov_specs,
@@ -491,8 +549,8 @@ class DistributedTiledGraph:
             tuple(self._fwd[k] for k in fields),
             tuple(self._bwd[k] for k in fields) + (self._bwd[slot_key],),
             zero_w,
-            self._fwd.get("overlap") if use_overlap else None,
-            self._bwd.get("overlap") if use_overlap else None,
+            (self._fwd["send_idx"],) + self._fwd["overlap"] if use_overlap else None,
+            (self._bwd["send_idx"],) + self._bwd["overlap"] if use_overlap else None,
             tuple(self._fwd[k] for k in self._ag_fields)
             if self._agnn_fwd_sm is not None
             else None,

@@ -87,6 +87,14 @@ class ShardedSGTMeta:
     # backward build weighted tiles from forward-ordered weights after an
     # all-gather.
     edge_fwd_slot: Optional[np.ndarray] = None  # [G, Emax] int32
+    # Boundary-only halo exchange (see build_halo): per-shard-pair request
+    # lists + col_ids remapped into the [rows_per_shard + G*H] extended
+    # slab each device assembles from one all_to_all.
+    #   {"capacity": H,
+    #    "send_idx":    [G, G, H] int32  (shard t's local rows for dest s),
+    #    "col_ids_ext": [G, Bmax*blk_w] int32,
+    #    "overlap_remote_col_ids_ext": [G, ...] int32 | None}
+    halo: Optional[dict] = None
 
     @property
     def padded_nodes(self) -> int:
@@ -293,6 +301,88 @@ def split_local_remote(
     return out["local"], out["remote"]
 
 
+def build_halo(
+    local_cols_list: list[np.ndarray],
+    col_ids_stacked: np.ndarray,
+    overlap_remote_col_ids: Optional[np.ndarray],
+    num_shards: int,
+    rows_per_shard: int,
+) -> dict:
+    """Boundary-only halo structures for the distributed ops.
+
+    For each shard s, the *remote set* is the sorted unique global column
+    ids its edges reference outside its own row range.  Slot assignment in
+    the extended slab ``[rows_per_shard + G*H]``: remote node owned by
+    shard t at rank p of s's request to t lives at ``rows_per_shard + t*H
+    + p``; a single ``all_to_all`` over the graph axis delivers exactly
+    those rows (see DistributedTiledGraph).  ``send_idx[t, s]`` lists t's
+    local rows destined for s (0-padded; padded slots land in halo
+    positions no col_id references).
+
+    Padding col_ids (structural zeros) that are not real columns of the
+    shard remap to local slot 0 — their tile entries are zero, so the
+    gathered row never contributes.
+    """
+    G = num_shards
+    requests = []  # requests[s][t]: sorted unique ids owned by t, needed by s
+    for s in range(G):
+        lo, hi = s * rows_per_shard, (s + 1) * rows_per_shard
+        cols = np.unique(np.asarray(local_cols_list[s], np.int64))
+        remote = cols[(cols < lo) | (cols >= hi)]
+        owner = remote // rows_per_shard
+        requests.append([remote[owner == t] for t in range(G)])
+
+    H = max((len(r) for reqs in requests for r in reqs), default=0)
+    H = max(int(H), 1)
+    send_idx = np.zeros((G, G, H), np.int32)
+    for s in range(G):
+        for t in range(G):
+            r = requests[s][t]
+            send_idx[t, s, : len(r)] = (r - t * rows_per_shard).astype(np.int32)
+
+    # Per-shard remap tables: concatenating per-owner request lists over
+    # ascending owners yields a globally sorted id list (owner t's ids live
+    # in [t*rows, (t+1)*rows)), so one searchsorted remaps any column array.
+    def make_remap(s):
+        ids = np.concatenate([requests[s][t] for t in range(G)]) if G else np.empty(0, np.int64)
+        slots = np.concatenate(
+            [
+                rows_per_shard + t * H + np.arange(len(requests[s][t]), dtype=np.int64)
+                for t in range(G)
+            ]
+        ) if G else np.empty(0, np.int64)
+        lo, hi = s * rows_per_shard, (s + 1) * rows_per_shard
+
+        def remap(col_arr):
+            c = np.asarray(col_arr, np.int64)
+            local = (c >= lo) & (c < hi)
+            out = np.where(local, c - lo, 0)
+            if len(ids):
+                pos = np.searchsorted(ids, c)
+                pos_c = np.minimum(pos, len(ids) - 1)
+                hit = (~local) & (ids[pos_c] == c)
+                out = np.where(hit, slots[pos_c], out)
+            return out.astype(np.int32)
+
+        return remap
+
+    remaps = [make_remap(s) for s in range(G)]
+    col_ids_ext = np.stack(
+        [remaps[s](col_ids_stacked[s]) for s in range(G)]
+    )
+    ov_ext = None
+    if overlap_remote_col_ids is not None:
+        ov_ext = np.stack(
+            [remaps[s](overlap_remote_col_ids[s]) for s in range(G)]
+        )
+    return {
+        "capacity": H,
+        "send_idx": send_idx,
+        "col_ids_ext": col_ids_ext,
+        "overlap_remote_col_ids_ext": ov_ext,
+    }
+
+
 def partition_csr(
     row_pointers: np.ndarray,
     column_index: np.ndarray,
@@ -337,6 +427,13 @@ def partition_csr(
     )
     stacked.overlap = _stack_overlap(
         metas, local_cols_list, rows_per_shard, config
+    )
+    stacked.halo = build_halo(
+        local_cols_list,
+        stacked.col_ids,
+        stacked.overlap["remote"]["col_ids"] if stacked.overlap else None,
+        num_shards,
+        rows_per_shard,
     )
     return stacked
 
