@@ -41,6 +41,93 @@ AE_DATASETS = {
 }
 
 
+# TUDataset graph collections among the AE names: these are disjoint unions
+# of many small molecule/protein graphs (name -> approx. number of member
+# graphs, from the published TUDataset statistics; YeastH's 3139988/79601 =
+# 39.4 avg nodes cross-checks the with-hydrogen molecule sizes).  Generating
+# them as power-law graphs would be structurally wrong — the component
+# structure is exactly what SGT (and the reference's real-graph numbers,
+# /root/reference/logs/reduce_blocks.csv) exploit.
+TU_COLLECTIONS = {
+    "PROTEINS_full": 1113,
+    "DD": 1178,
+    "OVCAR-8H": 40516,
+    "Yeast": 79601,
+    "YeastH": 79601,
+}
+
+
+def component_union_graph(
+    num_nodes: int,
+    num_edges: int,
+    num_graphs: int,
+    seed: int = 0,
+):
+    """Disjoint union of small connected graphs (TUDataset-class structure).
+
+    Component sizes are lognormal around ``num_nodes/num_graphs`` (min 3);
+    each component is a random spanning path plus uniform extra edges within
+    the component until the global undirected pair budget ``num_edges/2`` is
+    met.  Node ids are component-contiguous, as in the reference's real
+    ``.npz`` files (TUDataset concatenation order).
+    Returns (src, dst) directed, symmetrized, deduplicated.
+    """
+    rng = np.random.default_rng(seed)
+    mean = num_nodes / num_graphs
+    sizes = np.maximum(
+        3, np.round(rng.lognormal(np.log(mean) - 0.125, 0.5, num_graphs))
+    ).astype(np.int64)
+    # Rescale to sum to num_nodes exactly (spread the drift over components).
+    sizes = np.maximum(3, np.round(sizes * (num_nodes / sizes.sum()))).astype(np.int64)
+    drift = num_nodes - int(sizes.sum())
+    step = 1 if drift > 0 else -1
+    idx = rng.choice(num_graphs, size=abs(drift) % num_graphs, replace=False)
+    bulk, rem = divmod(abs(drift), num_graphs)
+    sizes += step * bulk
+    sizes[idx] += step
+    sizes = np.maximum(sizes, 3)
+    # final exact fix on the largest component (absorbs clamping residue)
+    sizes[np.argmax(sizes)] += num_nodes - int(sizes.sum())
+
+    starts = np.zeros(num_graphs + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+
+    # Spanning paths: (i, i+1) for every i that is not a component's last.
+    ids = np.arange(num_nodes - 1, dtype=np.int64)
+    not_last = np.ones(num_nodes - 1, dtype=bool)
+    not_last[starts[1:-1] - 1] = False
+    pa, pb = ids[not_last], ids[not_last] + 1
+    path_keys = pa * np.int64(num_nodes) + pb
+
+    target_pairs = max(num_edges // 2, 1)
+    keys = path_keys
+    for _ in range(8):
+        deficit = target_pairs - len(keys)
+        if deficit <= 0:
+            break
+        n_draw = int(deficit * 1.5) + 16
+        u = rng.integers(0, num_nodes, size=n_draw)
+        comp = np.searchsorted(starts, u, side="right") - 1
+        v = starts[comp] + np.floor(
+            rng.random(n_draw) * sizes[comp]
+        ).astype(np.int64)
+        keep = u != v
+        a = np.minimum(u[keep], v[keep])
+        b = np.maximum(u[keep], v[keep])
+        keys = np.unique(np.concatenate([keys, a * np.int64(num_nodes) + b]))
+    if len(keys) > target_pairs:
+        # Keep every path edge (connectivity); trim extras only.
+        extra = np.setdiff1d(keys, path_keys, assume_unique=False)
+        n_keep = target_pairs - len(path_keys)
+        if n_keep > 0:
+            extra = rng.choice(extra, size=min(n_keep, len(extra)), replace=False)
+            keys = np.concatenate([path_keys, extra])
+        else:
+            keys = path_keys
+    a, b = keys // num_nodes, keys % num_nodes
+    return np.concatenate([a, b]), np.concatenate([b, a])
+
+
 def powerlaw_graph(
     num_nodes: int,
     num_edges: int,
@@ -113,7 +200,10 @@ def synthesize(name: str, dim: int | None = None, num_classes: int | None = None
             f"unknown synthetic dataset {name!r}; known: {sorted(AE_DATASETS)},"
             " rand_<N>_<E>, or planted_<N>_<E>"
         )
-    src, dst = powerlaw_graph(n, e, seed=seed)
+    if name in TU_COLLECTIONS:
+        src, dst = component_union_graph(n, e, TU_COLLECTIONS[name], seed=seed)
+    else:
+        src, dst = powerlaw_graph(n, e, seed=seed)
     if planted:
         # Guarantee connectivity + self-contribution: ring edges keep every
         # node reachable and self-loops let aggregation retain the node's

@@ -32,9 +32,11 @@ from tcgnn_tpu.ops.spmm import (
     _spmm_colspace_padded,
     _spmm_fused_padded,
     build_a_tiles,
+    spmm_block_diag,
     spmm_tc,
     spmm_tc_dense,
 )
+from tcgnn_tpu.sgt.blockdiag import extract_block_diag
 from tcgnn_tpu.sgt.translate import (
     build_a_tiles_host,
     count_blocks,
@@ -63,6 +65,7 @@ class TiledGraph:
         symmetric: bool = False,
         interpret: Optional[bool] = None,
         dense_tiles: Optional[bool] = None,
+        block_diag: Optional[bool] = None,
     ):
         row_pointers = np.asarray(row_pointers)
         column_index = np.asarray(column_index)
@@ -148,8 +151,49 @@ class TiledGraph:
             )
         else:
             a_struct = a_struct_t = None
+
+        # Block-diagonal fast path (sgt/blockdiag.py): when the (reordered)
+        # adjacency is banded/component-structured, the unweighted SpMM runs
+        # as a few uniform batched MXU matmuls — no gather, no grid steps.
+        # extract_block_diag returns None below its coverage gate, so plain
+        # power-law graphs keep the condensed-gather design automatically.
+        self.block_diag = False
+        self._bd_offsets = self._bd_offsets_t = None
+        bd_pack_f = bd_pack_t = None
+        if dense_tiles and block_diag is not False:
+            bdm = extract_block_diag(row_pointers, column_index, num_nodes)
+            bdm_t = (
+                bdm
+                if (symmetric or bdm is None)
+                else extract_block_diag(t_ptr, t_idx, num_nodes)
+            )
+            if bdm is not None and bdm_t is not None:
+                self.block_diag = True
+                self._bd_offsets = bdm.offsets
+                self._bd_offsets_t = bdm_t.offsets
+
+                def bd_dev(m):
+                    if m.res_ptr is not None:
+                        res_host = sparse_graph_translate(
+                            m.res_ptr, m.res_idx, self.num_nodes, config,
+                            emit_chunks=False, build_tiles=True,
+                        )
+                        res_meta = res_host.as_jax(lite=True)
+                        res_a = to_dev(build_a_tiles_host(res_host))
+                    else:
+                        res_meta = res_a = None
+                    return (jnp.asarray(m.tiles), res_meta, res_a)
+
+                bd_pack_f = bd_dev(bdm)
+                bd_pack_t = bd_pack_f if symmetric else bd_dev(bdm_t)
+            elif block_diag:
+                raise ValueError(
+                    "block_diag requested but coverage is below the gate "
+                    "for this graph/ordering"
+                )
         self._device_arrays = (
-            self.meta, self.meta_t, a_struct, a_struct_t, self._t_edge_src
+            self.meta, self.meta_t, a_struct, a_struct_t, self._t_edge_src,
+            bd_pack_f, bd_pack_t,
         )
 
         ops = self._make_ops(*self._device_arrays)
@@ -179,13 +223,47 @@ class TiledGraph:
         """Ops namespace over traced array values (inside jit)."""
         return BoundGraph(self, self._make_ops(*device_arrays))
 
-    def _make_ops(self, meta, meta_t, a_struct, a_struct_t, t_edge_src):
+    def _make_ops(
+        self, meta, meta_t, a_struct, a_struct_t, t_edge_src,
+        bd_pack_f=None, bd_pack_t=None,
+    ):
         interpret = self.interpret
 
         def to_t(w):
             return w[t_edge_src]
 
-        if self.dense_tiles:
+        if self.dense_tiles and bd_pack_f is not None:
+            cfg = self.config
+
+            def _bd_spmm(x, pack, offsets):
+                tiles, res_meta, res_a = pack
+                out = spmm_block_diag(x, tiles, offsets=offsets, cfg=cfg)
+                if res_meta is not None:
+                    out = out + spmm_tc_dense(
+                        x, res_meta, res_a, interpret=interpret
+                    )
+                return out
+
+            def spmm_f(x):
+                return _bd_spmm(x, bd_pack_f, self._bd_offsets)
+
+            def spmm_b(dy):
+                return _bd_spmm(dy, bd_pack_t, self._bd_offsets_t)
+
+            def spmm_w_f(x, w):
+                return spmm_tc_dense(
+                    x, meta, build_a_tiles(meta, w), interpret=interpret
+                )
+
+            def spmm_w_b(dy, w):
+                return spmm_tc_dense(
+                    dy, meta_t, build_a_tiles(meta_t, to_t(w)), interpret=interpret
+                )
+
+            def sddmm_f(xa, xb):
+                return sddmm_tc_dense(xa, meta, xb, interpret=interpret)
+
+        elif self.dense_tiles:
 
             def spmm_f(x):
                 return spmm_tc_dense(x, meta, a_struct, interpret=interpret)
@@ -355,6 +433,7 @@ class BoundGraph:
         self.num_edges = parent.num_edges
         self.config = parent.config
         self.dense_tiles = parent.dense_tiles
+        self.block_diag = parent.block_diag
 
 
 def tiled_graph_from_dataset(ds, config: TileConfig = DEFAULT_CONFIG, **kw) -> TiledGraph:

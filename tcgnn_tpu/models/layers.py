@@ -82,11 +82,17 @@ def gcn_conv(
     """
     in_dim, out_dim = params["weights"].shape
     # A(XW) == (AX)W exactly (diagonal norms commute too); aggregate FIRST
-    # when the input is narrow.  The condensed gather is per-ROW bound, so
-    # aggregating at a small input width costs the same as at the projected
-    # width — and avoids projecting before the (cheap-width) aggregation.
-    # Wide inputs (e.g. citeseer's 3703-dim features) still project first.
-    aggregate_first = in_dim <= max(out_dim, 128)
+    # when the input is narrow.  On the gather path the condensed gather is
+    # per-ROW bound, so aggregating at a small input width costs the same as
+    # at the projected width — and avoids projecting before the (cheap-width)
+    # aggregation.  Wide inputs (e.g. citeseer's 3703-dim) still project
+    # first.  The block-diagonal path has no gather and its cost scales with
+    # the feature width, so there the classic order (project down first)
+    # wins whenever out_dim < in_dim.
+    if getattr(graph, "block_diag", False):
+        aggregate_first = in_dim <= out_dim
+    else:
+        aggregate_first = in_dim <= max(out_dim, 128)
     if aggregate_first:
         h = x if norm is None else x * norm[: x.shape[0], None]
         agg = graph.spmm(h)

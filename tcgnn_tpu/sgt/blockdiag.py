@@ -1,0 +1,179 @@
+"""Block-diagonal / block-banded fast path: SpMM as a plain batched matmul.
+
+Profiling the dense-tile SpMM on the low-degree AE graphs (OVCAR-8H, Yeast,
+DD — molecule/protein collections, avg degree ~2-5) shows BOTH halves of the
+condensed design losing to hardware realities: the XLA row gather runs at
+~0.13 G rows/s and the Pallas kernel pays ~0.8-1.8 us of DMA step latency per
+TC block.  But these graphs are unions of tiny connected components: after
+RCM every component is a contiguous run of node ids with bandwidth far below
+128, so with 128-row bins every edge lands in a block at offset -1/0/+1 from
+the diagonal.  The whole SpMM then collapses to (at most three) *uniform
+batched 128x128 matmuls* that XLA maps straight onto the MXU:
+
+    y[b] = sum_k  D_k[b] @ x[b + k]          (k in the selected offsets)
+
+— zero gather, zero Pallas grid steps, purely sequential HBM streams.
+Measured on OVCAR-8H geometry this is 3.3 ms (diag) / 5.1 ms (tridiag) per
+SpMM at d=16 vs 33.5 ms for the condensed-gather path (10x / 6.6x).
+
+Offsets are selected adaptively: a diagonal is materialized only when it
+carries a meaningful share of edges; everything else goes to a *residual*
+edge set served by the existing condensed-gather kernels (empty on molecule
+graphs, small after RCM elsewhere).  The path auto-disables below a coverage
+threshold so power-law graphs keep the condensed design.
+
+This replaces the role of the reference's neighbor-gather into shared memory
+(/root/reference/TCGNN_conv/TCGNN_kernel.cu:399-427) for banded graphs with
+the TPU-native formulation: alignment instead of gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+# A diagonal offset is materialized as dense [B, bin, bin] tiles only when it
+# carries at least this share of the edges (below that, the residual gather
+# path is cheaper than streaming a full mostly-zero tile array).
+MIN_OFFSET_SHARE = 0.02
+# The block-diagonal path activates only when the selected offsets cover at
+# least this fraction of edges.
+MIN_COVERAGE = 0.85
+# Never materialize more than this many bytes of int8 diagonal tiles.
+BD_TILE_BUDGET_BYTES = 6 << 30
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@dataclasses.dataclass
+class BDMeta:
+    """Host-side block-diagonal decomposition of a CSR adjacency."""
+
+    bin_rows: int                 # block size (128 = MXU tile)
+    num_bins: int                 # B = ceil(N / bin_rows)
+    offsets: tuple                # selected diagonal offsets, e.g. (0, -1, 1)
+    tiles: np.ndarray             # [K, B, bin, bin] int8 (int16 on overflow)
+    coverage: float               # edge fraction covered by `offsets`
+    # Residual edges (outside the selected offsets), as a CSR over the same
+    # node set; None when fully covered.
+    res_ptr: Optional[np.ndarray]
+    res_idx: Optional[np.ndarray]
+    res_edge_ids: Optional[np.ndarray]  # positions of residual edges in CSR order
+    # For the weighted path: per-edge scatter targets into the flat tile
+    # array (covered edges only), aligned with `cov_edge_ids`.
+    cov_edge_ids: np.ndarray      # positions of covered edges in CSR order
+    cov_flat_idx: np.ndarray      # flat index into tiles[K*B*bin*bin]
+
+
+def bd_edge_offsets(row_pointers, column_index, bin_rows: int = 128):
+    """Per-edge block offset (col_bin - row_bin) and row ids; cheap."""
+    ptr = np.asarray(row_pointers, dtype=np.int64)
+    cols = np.asarray(column_index, dtype=np.int64)
+    n = len(ptr) - 1
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+    return rows, cols, (cols // bin_rows) - (rows // bin_rows)
+
+
+def bd_coverage(row_pointers, column_index, bin_rows: int = 128,
+                candidate_offsets=(0, -1, 1)) -> float:
+    """Edge fraction within the candidate diagonals (gating pre-check)."""
+    cols = np.asarray(column_index)
+    if len(cols) == 0:
+        return 1.0
+    _, _, off = bd_edge_offsets(row_pointers, column_index, bin_rows)
+    return float(np.isin(off, candidate_offsets).mean())
+
+
+def extract_block_diag(
+    row_pointers,
+    column_index,
+    num_nodes: int,
+    bin_rows: int = 128,
+    candidate_offsets=(0, -1, 1),
+    min_offset_share: float = MIN_OFFSET_SHARE,
+    min_coverage: float = MIN_COVERAGE,
+) -> Optional[BDMeta]:
+    """Decompose A into dense diagonal-block tiles + a residual CSR.
+
+    Returns None when the selected offsets cover less than ``min_coverage``
+    of the edges or the tile array would blow the budget (caller falls back
+    to the condensed-gather path).
+    """
+    ptr = np.asarray(row_pointers, dtype=np.int64)
+    cols = np.asarray(column_index, dtype=np.int64)
+    n = int(num_nodes)
+    e = len(cols)
+    nbins = max(_cdiv(n, bin_rows), 1)
+    if e == 0:
+        return None
+
+    rows, cols, off = bd_edge_offsets(ptr, cols, bin_rows)
+
+    # Adaptive offset selection: keep a diagonal only when it pays for its
+    # own tile stream.  Offset 0 is always kept if present (it anchors the
+    # banded structure; without it coverage can't pass the gate anyway).
+    counts = {k: int((off == k).sum()) for k in candidate_offsets}
+    if sum(counts.values()) == e:
+        # Keeping every non-empty candidate makes the residual empty; skipping
+        # the residual SpMM dispatch entirely beats saving a thin diagonal
+        # stream, so ignore the per-offset share threshold in that case.
+        offsets = tuple(k for k in candidate_offsets if counts[k] > 0)
+    else:
+        offsets = tuple(
+            k for k in candidate_offsets
+            if counts[k] >= max(1, int(min_offset_share * e))
+        )
+    if not offsets:
+        return None
+    covered = np.isin(off, offsets)
+    coverage = float(covered.mean())
+    if coverage < min_coverage:
+        return None
+    if len(offsets) * nbins * bin_rows * bin_rows > BD_TILE_BUDGET_BYTES:
+        return None
+
+    # Duplicate-edge counts via sorted-run lengths (CSR rows/cols are sorted,
+    # so equal flat indices are adjacent within an offset class; np.unique
+    # handles stragglers) — much faster than np.add.at.
+    k_of = np.full(len(off), -1, dtype=np.int64)
+    for i, k in enumerate(offsets):
+        k_of[off == k] = i
+    bi = rows // bin_rows
+    flat = (
+        (k_of * nbins + bi) * (bin_rows * bin_rows)
+        + (rows % bin_rows) * bin_rows
+        + (cols - (bi + np.where(covered, off, 0)) * bin_rows)
+    )[covered]
+    uniq, cnt = np.unique(flat, return_counts=True)
+    dtype = np.int8 if (len(cnt) == 0 or cnt.max() <= 127) else np.int16
+    tiles = np.zeros(len(offsets) * nbins * bin_rows * bin_rows, dtype=dtype)
+    tiles[uniq] = cnt.astype(dtype)
+    tiles = tiles.reshape(len(offsets), nbins, bin_rows, bin_rows)
+
+    edge_ids = np.arange(e, dtype=np.int64)
+    cov_edge_ids = edge_ids[covered]
+    if coverage < 1.0:
+        res_rows = rows[~covered]
+        res_idx = cols[~covered].astype(np.int32)
+        res_ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(res_rows, minlength=n), out=res_ptr[1:])
+        res = (res_ptr.astype(np.int32), res_idx, edge_ids[~covered])
+    else:
+        res = (None, None, None)
+
+    return BDMeta(
+        bin_rows=bin_rows,
+        num_bins=nbins,
+        offsets=offsets,
+        tiles=tiles,
+        coverage=coverage,
+        res_ptr=res[0],
+        res_idx=res[1],
+        res_edge_ids=res[2],
+        cov_edge_ids=cov_edge_ids,
+        cov_flat_idx=flat,
+    )

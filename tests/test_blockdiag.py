@@ -1,0 +1,152 @@
+"""Block-diagonal SpMM path: extraction, gating, oracle + grad parity.
+
+The bd path (sgt/blockdiag.py + ops/spmm.py:spmm_block_diag) serves
+banded/component graphs as uniform batched MXU matmuls; these tests pin its
+semantics against the dense oracle and check the auto-gate keeps power-law
+graphs on the condensed design.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcgnn_tpu.config import TileConfig
+from tcgnn_tpu.data.dataset import coo_to_csr
+from tcgnn_tpu.data.synthetic import component_union_graph, powerlaw_graph
+from tcgnn_tpu.graph import TiledGraph
+from tcgnn_tpu.sgt.blockdiag import bd_coverage, extract_block_diag
+
+CFG = TileConfig(blk_h=128, blk_w=128, edge_chunk=64)
+
+
+def union_csr(n=1200, e=2600, num_graphs=40, seed=0):
+    src, dst = component_union_graph(n, e, num_graphs, seed=seed)
+    return coo_to_csr(src, dst, n)
+
+
+def dense_adj(ptr, idx, n):
+    a = np.zeros((n, n), np.float32)
+    rows = np.repeat(np.arange(n), np.diff(ptr))
+    np.add.at(a, (rows, np.asarray(idx)), 1.0)
+    return a
+
+
+def test_extract_roundtrip_exact():
+    """Diagonal tiles + residual CSR reassemble the exact adjacency."""
+    n = 700
+    ptr, idx = union_csr(n=n, e=1500, num_graphs=12, seed=1)
+    m = extract_block_diag(ptr, idx, n, bin_rows=128, min_coverage=0.0)
+    assert m is not None
+    a = np.zeros((n, n), np.float32)
+    bn, nb = m.bin_rows, m.num_bins
+    for k_i, k in enumerate(m.offsets):
+        for b in range(nb):
+            r0, c0 = b * bn, (b + k) * bn
+            if c0 < 0:
+                continue
+            t = m.tiles[k_i, b]
+            h = min(bn, n - r0)
+            w = min(bn, n - c0) if c0 < n else 0
+            if h > 0 and w > 0:
+                a[r0 : r0 + h, c0 : c0 + w] += t[:h, :w]
+    if m.res_ptr is not None:
+        rows = np.repeat(np.arange(n), np.diff(m.res_ptr))
+        np.add.at(a, (rows, m.res_idx), 1.0)
+    np.testing.assert_array_equal(a, dense_adj(ptr, idx, n))
+
+
+def test_component_graph_fully_covered():
+    """Components <= 128 nodes with contiguous ids need no residual."""
+    ptr, idx = union_csr(n=1500, e=3200, num_graphs=60, seed=2)
+    assert bd_coverage(ptr, idx) == 1.0
+    m = extract_block_diag(ptr, idx, 1500)
+    assert m is not None and m.res_ptr is None and m.coverage == 1.0
+
+
+def test_gate_rejects_powerlaw():
+    src, dst = powerlaw_graph(2000, 8000, seed=3)
+    ptr, idx = coo_to_csr(src, dst, 2000)
+    assert extract_block_diag(ptr, idx, 2000) is None
+    g = TiledGraph(ptr, idx, 2000, CFG)
+    assert not g.block_diag
+
+
+def test_tiledgraph_bd_spmm_matches_oracle():
+    n = 1800
+    ptr, idx = union_csr(n=n, e=3800, num_graphs=50, seed=4)
+    g = TiledGraph(ptr, idx, n, CFG)
+    assert g.block_diag
+    a = dense_adj(ptr, idx, n)
+    x = np.random.default_rng(0).standard_normal((n, 9)).astype(np.float32)
+    y = np.asarray(g.spmm(jnp.asarray(x)))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-4)
+
+
+def test_tiledgraph_bd_grad_matches_transpose():
+    n = 900
+    ptr, idx = union_csr(n=n, e=2000, num_graphs=25, seed=5)
+    g = TiledGraph(ptr, idx, n, CFG)
+    assert g.block_diag
+    a = dense_adj(ptr, idx, n)
+    x = np.random.default_rng(1).standard_normal((n, 5)).astype(np.float32)
+    dy = np.random.default_rng(2).standard_normal((n, 5)).astype(np.float32)
+    _, vjp = jax.vjp(g.spmm, jnp.asarray(x))
+    (dx,) = vjp(jnp.asarray(dy))
+    np.testing.assert_allclose(np.asarray(dx), a.T @ dy, rtol=1e-5, atol=1e-4)
+
+
+def test_bd_with_residual_matches_oracle():
+    """A banded graph plus a few long-range edges: residual path adds in."""
+    rng = np.random.default_rng(6)
+    n = 1600
+    ptr, idx = union_csr(n=n, e=3400, num_graphs=45, seed=6)
+    # splice in 3% long-range edges
+    e_extra = int(0.03 * len(idx))
+    src = rng.integers(0, n, e_extra)
+    dst = (src + n // 2) % n
+    rows = np.repeat(np.arange(n), np.diff(ptr))
+    all_src = np.concatenate([rows, src, dst])
+    all_dst = np.concatenate([np.asarray(idx), dst, src])
+    ptr2, idx2 = coo_to_csr(all_src, all_dst, n)
+    g = TiledGraph(ptr2, idx2, n, CFG)
+    assert g.block_diag  # coverage ~0.97 passes the gate
+    a = dense_adj(ptr2, idx2, n)
+    x = rng.standard_normal((n, 6)).astype(np.float32)
+    y = np.asarray(g.spmm(jnp.asarray(x)))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-4)
+    # gradient crosses both classes too
+    _, vjp = jax.vjp(g.spmm, jnp.asarray(x))
+    (dx,) = vjp(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(dx), a.T @ x, rtol=1e-5, atol=1e-4)
+
+
+def test_bind_arrays_roundtrip_with_bd():
+    """The jit-boundary pytree carries the bd arrays (HTTP 413 contract)."""
+    n = 1000
+    ptr, idx = union_csr(n=n, e=2200, num_graphs=30, seed=7)
+    g = TiledGraph(ptr, idx, n, CFG)
+    assert g.block_diag
+    x = np.random.default_rng(3).standard_normal((n, 4)).astype(np.float32)
+
+    @jax.jit
+    def step(arrays, xj):
+        return g.bind(arrays).spmm(xj)
+
+    y = np.asarray(step(g.arrays(), jnp.asarray(x)))
+    np.testing.assert_allclose(
+        y, dense_adj(ptr, idx, n) @ x, rtol=1e-5, atol=1e-4
+    )
+
+
+def test_component_union_generator_shape_contract():
+    src, dst = component_union_graph(5000, 11000, 150, seed=8)
+    ptr, idx = coo_to_csr(src, dst, 5000)
+    assert len(ptr) == 5001
+    e = len(idx)
+    assert abs(e - 11000) / 11000 < 0.06  # dedup/symmetrize keeps scale
+    # symmetric by construction
+    a = dense_adj(ptr, idx, 5000)
+    np.testing.assert_array_equal(a, a.T)
+    # every node has degree >= 1 (spanning paths)
+    assert (np.diff(ptr) > 0).all()
