@@ -66,7 +66,9 @@ def main(argv=None):
         help="report train/test accuracy per dataset (real-label parity "
         "check once real .npz graphs are present in --data_dir)",
     )
-    p.add_argument("--reorder", default="none", choices=["none", "rcm"])
+    p.add_argument(
+        "--reorder", default="none", choices=["none", "rcm", "community"]
+    )
     p.add_argument(
         "--single_kernel", action="store_true",
         help="profile one SAG SpMM per dataset instead of training "

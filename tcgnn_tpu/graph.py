@@ -20,6 +20,7 @@ Differences from the reference, on purpose:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -32,8 +33,10 @@ from tcgnn_tpu.ops.spmm import (
     _spmm_colspace_padded,
     _spmm_fused_padded,
     build_a_tiles,
+    pack_bd_tiles,
     spmm_block_diag,
     spmm_tc,
+    spmm_tc_blockout,
     spmm_tc_dense,
 )
 from tcgnn_tpu.sgt.blockdiag import extract_block_diag
@@ -180,9 +183,33 @@ class TiledGraph:
                         )
                         res_meta = res_host.as_jax(lite=True)
                         res_a = to_dev(build_a_tiles_host(res_host))
+                        # Tail-pad blocks to the blockout kernel's group of 8
+                        # (padding blocks: zero tiles, column 0, revisiting
+                        # the LAST window with first=0 — zero contribution
+                        # and a monotone output map, so the window-condensed
+                        # dense kernel stays valid on the same arrays).
+                        nb = res_a.shape[0]
+                        nb_p = -(-nb // 8) * 8
+                        if nb_p != nb:
+                            pad = nb_p - nb
+                            res_a = jnp.pad(res_a, ((0, pad), (0, 0), (0, 0)))
+                            res_meta = dataclasses.replace(
+                                res_meta,
+                                num_blocks=nb_p,
+                                col_ids=jnp.pad(
+                                    res_meta.col_ids, (0, pad * config.blk_w)
+                                ),
+                                block_window=jnp.pad(
+                                    res_meta.block_window, (0, pad),
+                                    constant_values=res_meta.num_windows - 1,
+                                ),
+                                block_first_in_window=jnp.pad(
+                                    res_meta.block_first_in_window, (0, pad)
+                                ),
+                            )
                     else:
                         res_meta = res_a = None
-                    return (jnp.asarray(m.tiles), res_meta, res_a)
+                    return (jnp.asarray(pack_bd_tiles(m.tiles)), res_meta, res_a)
 
                 bd_pack_f = bd_dev(bdm)
                 bd_pack_t = bd_pack_f if symmetric else bd_dev(bdm_t)
@@ -237,11 +264,27 @@ class TiledGraph:
 
             def _bd_spmm(x, pack, offsets):
                 tiles, res_meta, res_a = pack
-                out = spmm_block_diag(x, tiles, offsets=offsets, cfg=cfg)
+                out = spmm_block_diag(
+                    x, tiles, offsets=offsets, cfg=cfg, interpret=interpret
+                )
                 if res_meta is not None:
-                    out = out + spmm_tc_dense(
-                        x, res_meta, res_a, interpret=interpret
-                    )
+                    # bd residuals have ~1 block per window; the per-block-
+                    # output path + window segment-sum beats the window-
+                    # condensed kernel's one-step-per-block latency there
+                    # (DD d=16: 0.94 ms vs 1.95 ms).  Wide-d or block-heavy
+                    # residuals pay O(nb*blk_h*d) f32 for the block outputs
+                    # and flip back (d=128: 2.8 vs 1.8) — gate at d<=64.
+                    if (
+                        res_meta.num_blocks <= 2 * res_meta.num_windows
+                        and x.shape[1] <= 64
+                    ):
+                        out = out + spmm_tc_blockout(
+                            x, res_meta, res_a, interpret=interpret
+                        )
+                    else:
+                        out = out + spmm_tc_dense(
+                            x, res_meta, res_a, interpret=interpret
+                        )
                 return out
 
             def spmm_f(x):

@@ -383,32 +383,130 @@ def spmm_tc_dense(
 # maps straight onto the MXU — no gather, no Pallas grid steps.  Measured 10x
 # (diag) / 6.6x (tridiag) over the condensed-gather path on OVCAR-8H.
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("offsets", "cfg"))
+# Bin padding granule of the packed block-diagonal tile layout.
+BD_BIN_GROUP = 8
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "cfg", "interpret", "d_tile")
+)
 def _spmm_bd_core(
     x: jnp.ndarray,
-    tiles: jnp.ndarray,  # [K, B, bin, bin] int8/int16 structural counts
+    tiles: jnp.ndarray,  # [Bp, bin, K*bin] packed counts, Bp % BD_BIN_GROUP == 0
     *,
     offsets: tuple,
     cfg: TileConfig,
+    interpret: bool,
+    d_tile: int = 128,
 ) -> jnp.ndarray:
+    """``out[b] = sum_k D_k[b] @ x[b + k]`` as ONE XLA batched matmul.
+
+    The K diagonal streams collapse into a single [bin, K*bin] x [K*bin, d]
+    contraction per bin: the packed tile row multiplies the vertical stack
+    of the bin's K shifted feature bins.  The stack is a halo gather
+    (x bins are contiguous rows, so the gather moves whole 128-row panels),
+    K-times redundant in HBM — measured on DD geometry this still beats a
+    hand-rolled Pallas grid ~3x because XLA pipelines the int8 upcast, the
+    gather, and the MXU stream (Mosaic pays ~0.7 us fixed cost per small
+    dot, swamping d<=128 tiles).  ``interpret`` is accepted for interface
+    symmetry; the lowering is plain XLA and runs anywhere.
+    """
+    del interpret, d_tile
     ct = cfg.compute_dtype
-    nbins, bn = tiles.shape[1], tiles.shape[-1]
+    nbins, bn = tiles.shape[0], tiles.shape[1]
     n, d = x.shape
+    kmin, kmax = min(offsets), max(offsets)
+
+    # Zero rim bins stand in for wrap-around: y[b] reads x[b + k], and
+    # out-of-range contributions multiply all-zero tiles anyway.
     xb = x.astype(ct)
-    xb = jnp.pad(xb, ((0, nbins * bn - n), (0, 0))).reshape(nbins, bn, d)
-    dn = (((2,), (1,)), ((0,), (0,)))
-    y = None
-    for i, k in enumerate(offsets):
-        # y[b] += D_k[b] @ x[b + k]; wrap-around rolls only ever hit blocks
-        # whose tiles are all-zero by construction (no edges past the rim).
-        xk = xb if k == 0 else jnp.roll(xb, -k, axis=0)
-        yk = jax.lax.dot_general(
-            tiles[i].astype(ct), xk, dn,
-            preferred_element_type=jnp.float32,
-            precision=_mxu_precision(ct),
-        )
-        y = yk if y is None else y + yk
-    return y.reshape(nbins * bn, d)
+    xb = jnp.pad(
+        xb, ((-kmin * bn, (nbins * bn - n) + kmax * bn), (0, 0))
+    ).reshape(nbins + (kmax - kmin), bn, d)
+    # K static slices + stack (plain contiguous copies — a slab gather via
+    # jnp.take measures ~4x slower here).
+    xs = jnp.stack(
+        [xb[k - kmin:k - kmin + nbins] for k in offsets], axis=1
+    ).reshape(nbins, len(offsets) * bn, d)
+    out = jnp.einsum(
+        "bik,bkd->bid",
+        tiles.astype(ct),
+        xs,
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(ct),
+    )
+    return out.reshape(nbins * bn, d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_windows", "interpret")
+)
+def _spmm_blockout_padded(
+    x, a_tiles, col_ids, block_window, *, cfg, num_windows, interpret,
+):
+    """Sparse-block SpMM: per-BLOCK output tiles + a window segment-sum.
+
+    The window-condensed Pallas kernel owns one output tile per grid step,
+    so a residual graph with ~1 block per window degenerates to one
+    DMA-latency-bound step per block (~2.4 us each on DD's 730-block
+    residual).  Here every block's [blk_h, d] product is one slice of an
+    XLA batched matmul — no scalar maps, no accumulation hazards — and a
+    sorted segment-sum folds blocks into their windows.  Profitable exactly
+    when num_blocks ~ num_windows and d is small (the block-diagonal
+    residual case); block-heavy or wide-d graphs would pay O(nb*blk_h*d)
+    f32 for the block outputs and keep the condensed kernel instead.
+    """
+    del interpret  # plain XLA; accepted for interface symmetry
+    ct = cfg.compute_dtype
+    nb = a_tiles.shape[0]
+    d = x.shape[1]
+    xg = jnp.take(x.astype(ct), col_ids, axis=0, fill_value=0)
+    blockout = jnp.einsum(
+        "bik,bkd->bid",
+        a_tiles.astype(ct),
+        xg.reshape(nb, cfg.blk_w, d),
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(ct),
+    )
+    out = jax.ops.segment_sum(
+        blockout, block_window, num_segments=num_windows,
+        indices_are_sorted=True,
+    )
+    return out.reshape(num_windows * cfg.blk_h, d)
+
+
+def spmm_tc_blockout(
+    x: jnp.ndarray,
+    meta: JaxSGTMeta,
+    a_tiles: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Block-output SpMM for near-uniform block/window layouts (residuals)."""
+    if interpret is None:
+        interpret = default_interpret()
+    n, d = x.shape
+    out = _spmm_blockout_padded(
+        x, a_tiles, meta.col_ids, meta.block_window,
+        cfg=meta.config, num_windows=meta.num_windows, interpret=interpret,
+    )
+    return out[:n, :d]
+
+
+def pack_bd_tiles(tiles) -> jnp.ndarray:
+    """[K, B, bin, bin] host tiles -> the kernel's [Bp, bin, K*bin] layout.
+
+    ``Bp`` is B rounded up to ``BD_BIN_GROUP`` (padding bins are all-zero,
+    so they contribute nothing and their outputs are sliced away).
+    """
+    import numpy as np
+
+    k, b, bn, _ = tiles.shape
+    packed = np.transpose(tiles, (1, 2, 0, 3)).reshape(b, bn, k * bn)
+    bp = _round_up(max(b, 1), BD_BIN_GROUP)
+    if bp != b:
+        packed = np.pad(packed, ((0, bp - b), (0, 0), (0, 0)))
+    return np.ascontiguousarray(packed)
 
 
 def spmm_block_diag(
@@ -417,13 +515,19 @@ def spmm_block_diag(
     *,
     offsets: tuple,
     cfg: TileConfig,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Block-diagonal SpMM: ``out = A_bd @ x`` (covered offsets only).
 
+    ``tiles`` is the packed [B, bin, K*bin] layout (``pack_bd_tiles``).
     The caller adds the residual-edge contribution (condensed-gather path)
     when coverage < 1; see ``TiledGraph._make_ops``.
     """
-    return _spmm_bd_core(x, tiles, offsets=offsets, cfg=cfg)[: x.shape[0]]
+    if interpret is None:
+        interpret = default_interpret()
+    return _spmm_bd_core(
+        x, tiles, offsets=offsets, cfg=cfg, interpret=interpret
+    )[: x.shape[0], : x.shape[1]]
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,15 @@ MIN_OFFSET_SHARE = 0.02
 MIN_COVERAGE = 0.85
 # Never materialize more than this many bytes of int8 diagonal tiles.
 BD_TILE_BUDGET_BYTES = 6 << 30
+# Auto offset selection (candidate_offsets=None): a diagonal's tile stream
+# costs one [B, bin, bin] int8 read per SpMM (~bin^2 bytes per bin, ~20 ns
+# at HBM rate), while an edge left to the residual path costs roughly one
+# condensed-gather row (~2.2 ns at the measured 0.45 G rows/s).  Break-even
+# is therefore ~8 covered edges per bin — below that, streaming a
+# mostly-zero diagonal is slower than gathering its edges.
+PAYOFF_EDGES_PER_BIN = 8
+# Cap on materialized diagonal streams (bounds HBM traffic and roll count).
+MAX_BD_OFFSETS = 8
 
 
 def _cdiv(a, b):
@@ -93,11 +102,18 @@ def extract_block_diag(
     column_index,
     num_nodes: int,
     bin_rows: int = 128,
-    candidate_offsets=(0, -1, 1),
+    candidate_offsets=None,
     min_offset_share: float = MIN_OFFSET_SHARE,
     min_coverage: float = MIN_COVERAGE,
 ) -> Optional[BDMeta]:
     """Decompose A into dense diagonal-block tiles + a residual CSR.
+
+    ``candidate_offsets=None`` selects diagonals from the edge-offset
+    histogram: all of them when there are at most ``MAX_BD_OFFSETS``
+    distinct offsets (component unions — full coverage, no residual
+    dispatch), otherwise the top offsets whose edge count pays for their
+    own tile stream (``PAYOFF_EDGES_PER_BIN``; DD-class banded graphs pick
+    up +-2 this way and drop their residual from 10% to <2% of edges).
 
     Returns None when the selected offsets cover less than ``min_coverage``
     of the edges or the tile array would blow the budget (caller falls back
@@ -112,6 +128,22 @@ def extract_block_diag(
         return None
 
     rows, cols, off = bd_edge_offsets(ptr, cols, bin_rows)
+
+    if candidate_offsets is None:
+        vals, cnts = np.unique(off, return_counts=True)
+        if len(vals) <= MAX_BD_OFFSETS:
+            candidate_offsets = tuple(int(v) for v in vals)
+        else:
+            pay = cnts >= max(64, PAYOFF_EDGES_PER_BIN * nbins)
+            order = np.argsort(-cnts[pay], kind="stable")
+            candidate_offsets = tuple(
+                int(v) for v in vals[pay][order][:MAX_BD_OFFSETS]
+            )
+        # The count gate above already priced each stream; the share
+        # threshold below is for explicitly supplied candidate sets.
+        min_offset_share = 0.0
+        if not candidate_offsets:
+            return None
 
     # Adaptive offset selection: keep a diagonal only when it pays for its
     # own tile stream.  Offset 0 is always kept if present (it anchors the
@@ -129,6 +161,10 @@ def extract_block_diag(
         )
     if not offsets:
         return None
+    # Sorted offsets let the kernel treat a contiguous offset range as ONE
+    # wide MXU contraction (tiles packed side-by-side multiply a vertical
+    # stack of adjacent x bins) instead of K narrow dots.
+    offsets = tuple(sorted(offsets))
     covered = np.isin(off, offsets)
     coverage = float(covered.mean())
     if coverage < min_coverage:

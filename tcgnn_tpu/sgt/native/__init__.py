@@ -69,6 +69,8 @@ def load():
         lib.sgt_naive_count.restype = None
         lib.sgt_rcm.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
         lib.sgt_rcm.restype = None
+        lib.sgt_community.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
+        lib.sgt_community.restype = None
         _lib = lib
         return _lib
 
@@ -105,6 +107,21 @@ def rcm(sym_row_ptr: np.ndarray, sym_col_idx: np.ndarray) -> np.ndarray:
     out = np.zeros(n, np.int32)
     if n:
         lib.sgt_rcm(
+            n,
+            np.ascontiguousarray(sym_row_ptr, np.int64),
+            np.ascontiguousarray(sym_col_idx, np.int32),
+            out,
+        )
+    return out.astype(np.int64)
+
+
+def community(sym_row_ptr: np.ndarray, sym_col_idx: np.ndarray) -> np.ndarray:
+    """Rabbit-style community permutation (perm[new] = old) of a symmetric CSR."""
+    lib = load()
+    n = len(sym_row_ptr) - 1
+    out = np.zeros(n, np.int32)
+    if n:
+        lib.sgt_community(
             n,
             np.ascontiguousarray(sym_row_ptr, np.int64),
             np.ascontiguousarray(sym_col_idx, np.int32),

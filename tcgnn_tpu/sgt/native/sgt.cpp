@@ -176,4 +176,135 @@ void sgt_rcm(int64_t n, const int64_t* row_ptr, const int32_t* col_idx,
   for (int64_t i = 0; i < n; ++i) perm_out[i] = order[n - 1 - i];
 }
 
+// Community (Rabbit-style) ordering over a *symmetric* CSR (caller passes
+// A + A^T).  Single-pass incremental aggregation (Arai et al., "Rabbit
+// Order", IPDPS'16 — the ordering the TC-GNN README pairs with SGT):
+// vertices are visited in increasing-degree order and each one merges into
+// the neighboring community with the best modularity gain
+//     dQ ∝ w(u,c) - deg(u)·deg(c) / 2m
+// (merge only when dQ > 0).  Merges form a dendrogram; the final ordering
+// is a DFS over each community tree, so community members get contiguous
+// new ids — which is exactly what SGT wants: rows in the same 512-row
+// window share neighbors, shrinking the condensed column set and the
+// per-row-bound gather that dominates power-law graphs on TPU.
+//
+// Community adjacency uses lazy relabeling: merged lists are concatenated
+// with stale ids and compacted through union-find on access.
+void sgt_community(int64_t n, const int64_t* row_ptr, const int32_t* col_idx,
+                   int32_t* perm_out /* [n]: perm[new] = old */) {
+  std::vector<double> deg(n);
+  double two_m = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    deg[i] = (double)(row_ptr[i + 1] - row_ptr[i]);
+    two_m += deg[i];
+  }
+  if (two_m == 0.0) {  // edgeless graph: identity
+    for (int64_t i = 0; i < n; ++i) perm_out[i] = (int32_t)i;
+    return;
+  }
+
+  // Union-find with path halving.
+  std::vector<int32_t> uf(n);
+  for (int64_t i = 0; i < n; ++i) uf[i] = (int32_t)i;
+  auto find = [&](int32_t x) {
+    while (uf[x] != x) {
+      uf[x] = uf[uf[x]];
+      x = uf[x];
+    }
+    return x;
+  };
+
+  // Per-community adjacency (community id -> weight), stored as flat
+  // pair-vectors with lazy duplicates/stale ids.
+  std::vector<std::vector<std::pair<int32_t, float>>> adj(n);
+  for (int64_t i = 0; i < n; ++i) {
+    adj[i].reserve(row_ptr[i + 1] - row_ptr[i]);
+    for (int64_t e = row_ptr[i]; e < row_ptr[i + 1]; ++e)
+      if (col_idx[e] != i) adj[i].emplace_back(col_idx[e], 1.0f);
+  }
+
+  std::vector<int32_t> by_deg(n);
+  for (int64_t i = 0; i < n; ++i) by_deg[i] = (int32_t)i;
+  std::sort(by_deg.begin(), by_deg.end(), [&](int32_t a, int32_t b) {
+    return deg[a] < deg[b] || (deg[a] == deg[b] && a < b);
+  });
+
+  // Dendrogram: children lists in merge order.
+  std::vector<std::vector<int32_t>> children(n);
+  std::vector<std::pair<int32_t, float>> tmp;
+
+  auto compact = [&](std::vector<std::pair<int32_t, float>>& v,
+                     int32_t self) {
+    // Relabel through find(), sum duplicate weights, drop self-loops.
+    tmp.clear();
+    tmp.reserve(v.size());
+    for (auto& p : v) {
+      int32_t r = find(p.first);
+      if (r != self) tmp.emplace_back(r, p.second);
+    }
+    std::sort(tmp.begin(), tmp.end(),
+              [](const std::pair<int32_t, float>& a,
+                 const std::pair<int32_t, float>& b) {
+                return a.first < b.first;
+              });
+    v.clear();
+    for (auto& p : tmp) {
+      if (!v.empty() && v.back().first == p.first) v.back().second += p.second;
+      else v.push_back(p);
+    }
+  };
+
+  for (int64_t it = 0; it < n; ++it) {
+    const int32_t u = by_deg[it];
+    if (find(u) != u) continue;  // already absorbed
+    compact(adj[u], u);
+    if (adj[u].empty()) continue;
+    // Best-gain neighbor community: maximize w(u,c) - deg(u)*deg(c)/2m.
+    int32_t best = -1;
+    double best_gain = 0.0;
+    for (auto& p : adj[u]) {
+      const double gain = (double)p.second - deg[u] * deg[p.first] / two_m;
+      if (gain > best_gain) {
+        best_gain = gain;
+        best = p.first;
+      }
+    }
+    if (best < 0) continue;  // no positive-gain merge: u stays a root
+    // Merge u into community `best`.
+    uf[u] = best;
+    deg[best] += deg[u];
+    children[best].push_back(u);
+    auto& dst = adj[best];
+    dst.insert(dst.end(), adj[u].begin(), adj[u].end());
+    std::vector<std::pair<int32_t, float>>().swap(adj[u]);
+    // Bound the lazy list: compact when it outgrows 4x the true community
+    // degree (keeps total work near O(E log E)).
+    if (dst.size() > 64 && (double)dst.size() > 4.0 * deg[best])
+      compact(dst, best);
+  }
+
+  // Ordering: DFS over each dendrogram tree (children in merge order —
+  // low-degree absorbees first, matching the aggregation locality).
+  int64_t out = 0;
+  std::vector<int32_t> roots;
+  for (int64_t i = 0; i < n; ++i)
+    if (find((int32_t)i) == (int32_t)i) roots.push_back((int32_t)i);
+  // Heavy communities first: hubs land at low ids where windows are
+  // densest, and singleton leftovers pack together at the tail.
+  std::sort(roots.begin(), roots.end(), [&](int32_t a, int32_t b) {
+    return deg[a] > deg[b] || (deg[a] == deg[b] && a < b);
+  });
+  std::vector<int32_t> stack;
+  for (const int32_t r : roots) {
+    stack.push_back(r);
+    while (!stack.empty()) {
+      const int32_t v = stack.back();
+      stack.pop_back();
+      perm_out[out++] = v;
+      for (int64_t k = (int64_t)children[v].size() - 1; k >= 0; --k)
+        stack.push_back(children[v][k]);
+    }
+  }
+}
+
 }  // extern "C"

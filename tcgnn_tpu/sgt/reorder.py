@@ -43,6 +43,32 @@ def rcm_permutation(row_pointers, column_index, num_nodes: int) -> np.ndarray:
     return np.asarray(reverse_cuthill_mckee(s, symmetric_mode=True), dtype=np.int64)
 
 
+def community_permutation(row_pointers, column_index, num_nodes: int) -> np.ndarray:
+    """perm[new_id] = old_id via Rabbit-style community aggregation.
+
+    The ordering the TC-GNN README pairs with SGT ("+Rabbit" variants,
+    ``/root/reference/README.md``): single-pass modularity-gain merging with
+    dendrogram-DFS ids (native C++, ``sgt.cpp:sgt_community``).  Best on
+    power-law / co-purchase graphs where RCM's bandwidth objective has no
+    band to find; falls back to RCM when the native library is missing.
+    """
+    import scipy.sparse as sp
+
+    indptr = np.asarray(row_pointers, dtype=np.int64)
+    indices = np.asarray(column_index, dtype=np.int64)
+    data = np.ones(len(indices), dtype=np.int8)
+    a = sp.csr_matrix((data, indices, indptr), shape=(num_nodes, num_nodes))
+    s = (a + a.T).tocsr()
+
+    from tcgnn_tpu.sgt import native
+
+    if native.available():
+        return native.community(
+            s.indptr.astype(np.int64), s.indices.astype(np.int32)
+        )
+    return rcm_permutation(row_pointers, column_index, num_nodes)
+
+
 def permute_csr(row_pointers, column_index, perm: np.ndarray):
     """CSR of P A P^T where new node i = old node perm[i].
 
@@ -91,9 +117,14 @@ def reorder_dataset(ds, method: str = "rcm"):
     """
     if method in (None, "none"):
         return None
-    if method != "rcm":
+    if method == "rcm":
+        perm = rcm_permutation(ds.row_pointers, ds.column_index, ds.num_nodes)
+    elif method == "community":
+        perm = community_permutation(
+            ds.row_pointers, ds.column_index, ds.num_nodes
+        )
+    else:
         raise ValueError(f"unknown reorder method {method!r}")
-    perm = rcm_permutation(ds.row_pointers, ds.column_index, ds.num_nodes)
     new_ptr, new_cols, _ = permute_csr(ds.row_pointers, ds.column_index, perm)
     ds.row_pointers = new_ptr
     ds.column_index = new_cols

@@ -61,7 +61,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--symmetric", action="store_true", help="declare A symmetric (skip transpose tiling)")
     p.add_argument(
-        "--reorder", default="none", choices=["none", "rcm"],
+        "--reorder", default="none", choices=["none", "rcm", "community"],
         help="node reordering before SGT (raises window condensation; "
         "the reference pairs SGT with Rabbit ordering similarly)",
     )
