@@ -33,7 +33,7 @@ from tcgnn_tpu.ops.spmm import (
     _spmm_colspace_padded,
     _spmm_fused_padded,
     build_a_tiles,
-    pack_bd_tiles,
+    build_bd_pack,
     spmm_block_diag,
     spmm_tc,
     spmm_tc_blockout,
@@ -209,7 +209,14 @@ class TiledGraph:
                             )
                     else:
                         res_meta = res_a = None
-                    return (jnp.asarray(pack_bd_tiles(m.tiles)), res_meta, res_a)
+                    pack = build_bd_pack(
+                        jnp.asarray(m.tile_idx),
+                        jnp.asarray(m.tile_cnt),
+                        k=len(m.offsets),
+                        nbins=m.num_bins,
+                        bn=m.bin_rows,
+                    )
+                    return (pack, res_meta, res_a)
 
                 bd_pack_f = bd_dev(bdm)
                 bd_pack_t = bd_pack_f if symmetric else bd_dev(bdm_t)

@@ -51,6 +51,23 @@ def init_net(
     return params
 
 
+def hoist_l1_aggregate(kind: str, x, graph, norm=None):
+    """Precompute the loop-invariant layer-1 aggregate ``A X`` (or its
+    normalized form ``norm ⊙ A (norm ⊙ X)``) for GCN/GIN; None for models
+    whose first aggregation depends on parameters (AGNN attention).
+
+    See ``apply_net``'s ``l1_agg`` docstring for the exactness argument.
+    """
+    if kind not in ("gcn", "gin"):
+        return None
+    use_norm = kind == "gcn" and norm is not None  # norm is a GCN notion
+    h = x * norm[: x.shape[0], None] if use_norm else x
+    agg = graph.spmm(h)
+    if use_norm:
+        agg = agg * norm[: agg.shape[0], None]
+    return agg
+
+
 def apply_net(
     params: List[Dict[str, jnp.ndarray]],
     kind: str,
@@ -60,16 +77,35 @@ def apply_net(
     dropout_rate: float = 0.5,
     num_valid_classes: Optional[int] = None,
     norm: Optional[jnp.ndarray] = None,
+    l1_agg: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Forward pass.  ``num_valid_classes`` masks trailing logit columns to
     -inf before the log_softmax — used by the distributed trainer when the
     class dim is padded up for even feature-axis sharding.  ``norm`` enables
-    symmetric GCN normalization (see ``layers.gcn_conv``)."""
+    symmetric GCN normalization (see ``layers.gcn_conv``).
+
+    ``l1_agg`` is the hoisted layer-1 aggregate (``hoist_l1_aggregate``):
+    full-batch training over constant input features makes the first
+    aggregation loop-invariant — GCN's ``A(XW) == (AX)W`` and GIN's
+    ``(AX)W`` both factor through ``A X``, and dropout sits *after* layer 1
+    (reference parity, main_tcgnn.py:91), so hoisting it out of the epoch
+    loop is exact: identical activations, losses, and gradients
+    (``dW1 = (AX)^T dH`` reuses the same cached aggregate).  The reference
+    recomputes this spmm every epoch; this is the training-loop analogue of
+    loop-invariant code motion."""
     conv = {"gcn": L.gcn_conv, "gin": L.gin_conv, "agnn": L.agnn_conv}[kind]
     if kind == "gcn" and norm is not None:
         conv = functools.partial(L.gcn_conv, norm=norm)
 
-    h = jax.nn.relu(conv(params[0], x, graph))
+    if l1_agg is not None and kind in ("gcn", "gin"):
+        h = jax.nn.relu(
+            jnp.dot(
+                l1_agg, params[0]["weights"],
+                preferred_element_type=jnp.float32,
+            )
+        )
+    else:
+        h = jax.nn.relu(conv(params[0], x, graph))
     if dropout_key is not None:
         keep = 1.0 - dropout_rate
         mask = jax.random.bernoulli(dropout_key, keep, h.shape)

@@ -493,20 +493,29 @@ def spmm_tc_blockout(
     return out[:n, :d]
 
 
-def pack_bd_tiles(tiles) -> jnp.ndarray:
-    """[K, B, bin, bin] host tiles -> the kernel's [Bp, bin, K*bin] layout.
+@functools.partial(jax.jit, static_argnames=("k", "nbins", "bn"))
+def build_bd_pack(tile_idx, tile_cnt, *, k, nbins, bn) -> jnp.ndarray:
+    """Sparse (idx, cnt) tile contents -> the kernel's [Bp, bin, K*bin] pack.
 
-    ``Bp`` is B rounded up to ``BD_BIN_GROUP`` (padding bins are all-zero,
-    so they contribute nothing and their outputs are sliced away).
+    Runs ON DEVICE: the host ships only the nonzero entries (~bytes per
+    edge) instead of materializing, transposing, and uploading the full
+    mostly-zero pack (DD: 340 MB, ~28 s through the tunnel + 7 s of host
+    copies).  ``Bp`` is B rounded up to ``BD_BIN_GROUP`` (padding bins are
+    all-zero, so they contribute nothing and their outputs are sliced
+    away).
     """
-    import numpy as np
-
-    k, b, bn, _ = tiles.shape
-    packed = np.transpose(tiles, (1, 2, 0, 3)).reshape(b, bn, k * bn)
-    bp = _round_up(max(b, 1), BD_BIN_GROUP)
-    if bp != b:
-        packed = np.pad(packed, ((0, bp - b), (0, 0), (0, 0)))
-    return np.ascontiguousarray(packed)
+    flat = jnp.zeros((k * nbins * bn * bn,), tile_cnt.dtype)
+    flat = flat.at[tile_idx].set(tile_cnt, indices_are_sorted=True,
+                                 unique_indices=True)
+    packed = (
+        flat.reshape(k, nbins, bn, bn)
+        .transpose(1, 2, 0, 3)
+        .reshape(nbins, bn, k * bn)
+    )
+    bp = _round_up(max(nbins, 1), BD_BIN_GROUP)
+    if bp != nbins:
+        packed = jnp.pad(packed, ((0, bp - nbins), (0, 0), (0, 0)))
+    return packed
 
 
 def spmm_block_diag(
@@ -519,7 +528,7 @@ def spmm_block_diag(
 ) -> jnp.ndarray:
     """Block-diagonal SpMM: ``out = A_bd @ x`` (covered offsets only).
 
-    ``tiles`` is the packed [B, bin, K*bin] layout (``pack_bd_tiles``).
+    ``tiles`` is the packed [B, bin, K*bin] layout (``build_bd_pack``).
     The caller adds the residual-edge contribution (condensed-gather path)
     when coverage < 1; see ``TiledGraph._make_ops``.
     """

@@ -64,6 +64,7 @@ def make_distributed_train_step(
     dropout_rate: float = 0.5,
     num_valid_classes: Optional[int] = None,
     norm: Optional[jnp.ndarray] = None,
+    hoist: bool = True,
 ):
     """Jitted full-batch distributed step (forward, masked NLL, Adam).
 
@@ -71,12 +72,21 @@ def make_distributed_train_step(
     ``graph.shard_nodes`` (int labels, padded entries arbitrary — masked);
     ``norm`` (optional GCN normalization) with ``graph.shard_nodes`` too
     (padded entries 0, so padded rows stay 0).
+
+    ``hoist`` precomputes the loop-invariant layer-1 aggregate once (one
+    distributed spmm incl. its halo exchange) and drops it from every epoch;
+    exact for GCN/GIN (``nets.apply_net``), sharded like the features.
     """
     mask = graph.valid_node_mask()
     denom = jnp.asarray(float(graph.num_nodes), jnp.float32)
     garr = graph.arrays()
+    l1_agg = (
+        nets.hoist_l1_aggregate(kind, x, graph.bind(garr), norm=norm)
+        if hoist
+        else None
+    )
 
-    def loss_fn(params, key, x, y, mask, g):
+    def loss_fn(params, key, x, y, mask, g, l1_agg):
         logp = nets.apply_net(
             params,
             kind,
@@ -86,20 +96,23 @@ def make_distributed_train_step(
             dropout_rate=dropout_rate,
             num_valid_classes=num_valid_classes,
             norm=norm,
+            l1_agg=l1_agg,
         )
         nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
         return jnp.sum(nll * mask) / denom
 
     @jax.jit
-    def _step(params, opt_state, key, x, y, mask, garr):
+    def _step(params, opt_state, key, x, y, mask, garr, l1_agg):
         g = graph.bind(garr)
         key, sub = jax.random.split(key)
-        loss, grads = jax.value_and_grad(loss_fn)(params, sub, x, y, mask, g)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, sub, x, y, mask, g, l1_agg
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, key, loss
 
     def step(params, opt_state, key):
-        return _step(params, opt_state, key, x, y, mask, garr)
+        return _step(params, opt_state, key, x, y, mask, garr, l1_agg)
 
     return step

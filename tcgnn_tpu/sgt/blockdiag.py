@@ -65,7 +65,13 @@ class BDMeta:
     bin_rows: int                 # block size (128 = MXU tile)
     num_bins: int                 # B = ceil(N / bin_rows)
     offsets: tuple                # selected diagonal offsets, e.g. (0, -1, 1)
-    tiles: np.ndarray             # [K, B, bin, bin] int8 (int16 on overflow)
+    # Sparse tile contents: unique flat indices into the [K*B*bin*bin] tile
+    # array and their duplicate-edge counts.  The dense array is built ON
+    # DEVICE from these (ops/spmm.build_bd_pack) — materializing and
+    # packing hundreds of MB of mostly-zero int8 on the host, then pushing
+    # it through the ~40 MB/s tunnel, was the bulk of DD's 36 s prep.
+    tile_idx: np.ndarray          # [nnz] int64, sorted
+    tile_cnt: np.ndarray          # [nnz] int8 (int16 on overflow)
     coverage: float               # edge fraction covered by `offsets`
     # Residual edges (outside the selected offsets), as a CSR over the same
     # node set; None when fully covered.
@@ -76,6 +82,16 @@ class BDMeta:
     # array (covered edges only), aligned with `cov_edge_ids`.
     cov_edge_ids: np.ndarray      # positions of covered edges in CSR order
     cov_flat_idx: np.ndarray      # flat index into tiles[K*B*bin*bin]
+
+    def dense_tiles(self) -> np.ndarray:
+        """Materialize the [K, B, bin, bin] tile array (tests/analytics)."""
+        k = len(self.offsets)
+        t = np.zeros(
+            k * self.num_bins * self.bin_rows * self.bin_rows,
+            self.tile_cnt.dtype,
+        )
+        t[self.tile_idx] = self.tile_cnt
+        return t.reshape(k, self.num_bins, self.bin_rows, self.bin_rows)
 
 
 def bd_edge_offsets(row_pointers, column_index, bin_rows: int = 128):
@@ -186,9 +202,6 @@ def extract_block_diag(
     )[covered]
     uniq, cnt = np.unique(flat, return_counts=True)
     dtype = np.int8 if (len(cnt) == 0 or cnt.max() <= 127) else np.int16
-    tiles = np.zeros(len(offsets) * nbins * bin_rows * bin_rows, dtype=dtype)
-    tiles[uniq] = cnt.astype(dtype)
-    tiles = tiles.reshape(len(offsets), nbins, bin_rows, bin_rows)
 
     edge_ids = np.arange(e, dtype=np.int64)
     cov_edge_ids = edge_ids[covered]
@@ -205,7 +218,8 @@ def extract_block_diag(
         bin_rows=bin_rows,
         num_bins=nbins,
         offsets=offsets,
-        tiles=tiles,
+        tile_idx=uniq,
+        tile_cnt=cnt.astype(dtype),
         coverage=coverage,
         res_ptr=res[0],
         res_idx=res[1],

@@ -82,6 +82,12 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--no_dropout", action="store_true")
+    p.add_argument(
+        "--no_hoist", action="store_true",
+        help="recompute the loop-invariant layer-1 aggregate every epoch "
+        "(the reference's schedule) instead of hoisting it out of the "
+        "training loop — hoisting is exact for GCN/GIN (see models/nets.py)",
+    )
     return p
 
 
@@ -101,33 +107,44 @@ def make_config(args) -> TileConfig:
     )
 
 
-def make_train_step(graph: TiledGraph, kind: str, x, y, optimizer, dropout_rate, norm=None):
+def make_train_step(
+    graph: TiledGraph, kind: str, x, y, optimizer, dropout_rate, norm=None,
+    hoist: bool = True,
+):
     """Jitted full-batch step: forward, NLL over all nodes, Adam update
     (main_tcgnn.py:146-151).
 
     Features, labels, and the graph's tile/metadata arrays enter the jit as
     *arguments* (not closure constants) so the compiled program carries no
     embedded multi-MB literals — see ``TiledGraph.arrays``.
+
+    ``hoist`` precomputes the loop-invariant layer-1 aggregate once
+    (``nets.hoist_l1_aggregate``) and removes that spmm (and its transpose
+    in the backward pass) from every epoch — exact for GCN/GIN, see
+    ``nets.apply_net``.  ``--no_hoist`` restores the reference's
+    recompute-every-epoch schedule for like-for-like kernel timing.
     """
     garr = graph.arrays()
+    l1_agg = nets.hoist_l1_aggregate(kind, x, graph, norm=norm) if hoist else None
 
-    def loss_fn(params, key, x, y, g):
+    def loss_fn(params, key, x, y, g, l1_agg):
         logp = nets.apply_net(
-            params, kind, x, g, dropout_key=key, dropout_rate=dropout_rate, norm=norm
+            params, kind, x, g, dropout_key=key, dropout_rate=dropout_rate,
+            norm=norm, l1_agg=l1_agg,
         )
         return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
 
     @jax.jit
-    def _step(params, opt_state, key, x, y, garr):
+    def _step(params, opt_state, key, x, y, garr, l1_agg):
         g = graph.bind(garr)
         key, sub = jax.random.split(key)
-        loss, grads = jax.value_and_grad(loss_fn)(params, sub, x, y, g)
+        loss, grads = jax.value_and_grad(loss_fn)(params, sub, x, y, g, l1_agg)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, key, loss
 
     def step(params, opt_state, key):
-        return _step(params, opt_state, key, x, y, garr)
+        return _step(params, opt_state, key, x, y, garr, l1_agg)
 
     return step
 
@@ -236,6 +253,7 @@ def train_distributed(args, ds, cfg):
     step = make_distributed_train_step(
         graph, args.model, x, y, optimizer, dropout,
         num_valid_classes=ds.num_classes, norm=norm,
+        hoist=not args.no_hoist,
     )
 
     loss = None
@@ -330,7 +348,10 @@ def main(argv=None):
     norm = (
         jnp.asarray(1.0 / ds.norm_degrees()) if args.gcn_norm else None
     )
-    step = make_train_step(graph, args.model, x, y, optimizer, dropout, norm=norm)
+    step = make_train_step(
+        graph, args.model, x, y, optimizer, dropout, norm=norm,
+        hoist=not args.no_hoist,
+    )
 
     # ---- 10 warm-up epochs, then timed epochs (main_tcgnn.py:166-181) -----
     # Timing brackets end on a scalar loss fetch: on tunneled TPU backends

@@ -40,12 +40,13 @@ def test_extract_roundtrip_exact():
     assert m is not None
     a = np.zeros((n, n), np.float32)
     bn, nb = m.bin_rows, m.num_bins
+    tiles = m.dense_tiles()
     for k_i, k in enumerate(m.offsets):
         for b in range(nb):
             r0, c0 = b * bn, (b + k) * bn
             if c0 < 0:
                 continue
-            t = m.tiles[k_i, b]
+            t = tiles[k_i, b]
             h = min(bn, n - r0)
             w = min(bn, n - c0) if c0 < n else 0
             if h > 0 and w > 0:

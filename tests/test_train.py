@@ -41,6 +41,38 @@ def test_loss_decreases(kind):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.parametrize("kind", ["gcn", "gin"])
+def test_hoisted_l1_aggregate_is_exact(kind):
+    """Hoisting A·X out of the epoch loop changes nothing: identical loss
+    trajectory (incl. through dropout — same key sequence, same mask)."""
+    n, e, d, classes = 120, 700, 16, 4
+    src, dst = powerlaw_graph(n, e, seed=3)
+    indptr, indices = coo_to_csr(src, dst, n)
+    graph = TiledGraph(indptr, indices, n, CFG, symmetric=True)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
+    y = jnp.asarray(rng.integers(0, classes, n).astype(np.int32))
+    optimizer = optax.adam(0.01)
+
+    losses = {}
+    for hoist in (False, True):
+        params = nets.init_net(
+            jax.random.PRNGKey(0), kind, d, 16, classes, 2, init="uniform"
+        )
+        opt_state = optimizer.init(params)
+        step = make_train_step(
+            graph, kind, x, y, optimizer, dropout_rate=0.5, hoist=hoist
+        )
+        key = jax.random.PRNGKey(1)
+        traj = []
+        for _ in range(6):
+            params, opt_state, key, loss = step(params, opt_state, key)
+            traj.append(float(loss))
+        losses[hoist] = traj
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
 def test_synthetic_edge_counts():
     ds = synthesize("pubmed")
     n, e, d, c = 19717, 88648, 500, 3
