@@ -28,18 +28,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
-from tcgnn_tpu.ops.sddmm import sddmm_tc, sddmm_tc_dense, sddmm_tc_dense_tiles
+from tcgnn_tpu.ops.sddmm import (
+    sddmm_tc,
+    sddmm_tc_dense,
+    sddmm_tc_dense_tiles,
+    sddmm_tc_streamed,
+)
 from tcgnn_tpu.ops.spmm import (
     _spmm_colspace_padded,
     _spmm_fused_padded,
     build_a_tiles,
     build_bd_pack,
+    build_struct_tiles,
     spmm_block_diag,
     spmm_tc,
     spmm_tc_blockout,
     spmm_tc_dense,
+    spmm_tc_streamed,
 )
 from tcgnn_tpu.sgt.blockdiag import extract_block_diag
+from tcgnn_tpu.sgt.stream import needs_streaming, segment_chunks
 from tcgnn_tpu.sgt.translate import (
     build_a_tiles_host,
     count_blocks,
@@ -69,6 +77,7 @@ class TiledGraph:
         interpret: Optional[bool] = None,
         dense_tiles: Optional[bool] = None,
         block_diag: Optional[bool] = None,
+        streamed: Optional[bool] = None,
     ):
         row_pointers = np.asarray(row_pointers)
         column_index = np.asarray(column_index)
@@ -116,41 +125,77 @@ class TiledGraph:
 
         host_meta = sparse_graph_translate(
             row_pointers, column_index, num_nodes, config,
-            emit_chunks=not dense_tiles, build_tiles=dense_tiles,
+            emit_chunks=not dense_tiles, build_tiles=False,
         )
         self.host_meta = host_meta
-        self.meta = host_meta.as_jax(lite=dense_tiles)
         if symmetric:
             self.host_meta_t = host_meta
-            self.meta_t = self.meta
         else:
             self.host_meta_t = sparse_graph_translate(
                 t_ptr, t_idx, num_nodes, config,
-                emit_chunks=not dense_tiles, build_tiles=dense_tiles,
+                emit_chunks=not dense_tiles, build_tiles=False,
             )
-            self.meta_t = self.host_meta_t.as_jax(lite=dense_tiles)
+
+        # Past the one-shot chunk kernels' SMEM-prefetch / condensed-slab
+        # ceilings (Reddit scale), re-lay the chunk metadata as stacked
+        # window segments and lax.scan one compiled kernel over them
+        # (sgt/stream.py).  The streamed metadata REPLACES the per-graph
+        # device metadata entirely — nothing else is uploaded.
+        if streamed is None:
+            streamed = (not dense_tiles) and (
+                needs_streaming(self.host_meta)
+                or needs_streaming(self.host_meta_t)
+            )
+        elif streamed and dense_tiles:
+            raise ValueError("streamed chunk path requires dense_tiles=False")
+        self.streamed = streamed
+        smeta_f = smeta_t = None
+        if self.streamed:
+            smeta_f = segment_chunks(self.host_meta)
+            smeta_t = smeta_f if symmetric else segment_chunks(self.host_meta_t)
+            self.meta = self.meta_t = None
+        else:
+            self.meta = host_meta.as_jax(lite=dense_tiles)
+            self.meta_t = (
+                self.meta
+                if symmetric
+                else self.host_meta_t.as_jax(lite=dense_tiles)
+            )
 
         self.row_pointers = jnp.asarray(row_pointers.astype(np.int32))
         self.column_index = jnp.asarray(column_index.astype(np.int32))
 
         if dense_tiles:
-            # Structural tiles are static: build on host (cheap bincount,
-            # fused into the native pass), ship to HBM once — keeps "Prep."
-            # free of XLA scatter compiles.  Values are small duplicate-edge
-            # counts, so int8 storage is exact and quarters the HBM traffic
-            # of the tile stream (the kernel upcasts to compute_dtype).
-            def to_dev(host_tiles):
-                if host_tiles.dtype == np.int8:  # native pass built them
-                    return jnp.asarray(host_tiles)
-                if host_tiles.max(initial=0.0) <= 127:
-                    return jnp.asarray(host_tiles.astype(np.int8))
-                return jnp.asarray(host_tiles).astype(config.compute_dtype)
+            # Structural tiles are static per graph, built ON DEVICE from
+            # the per-edge flat positions (4 bytes/edge upload) instead of
+            # materializing and shipping the dense [B, blk_h, blk_w] array
+            # (blk_h*blk_w bytes per block — amazon0601: 460 MB at tunnel
+            # bandwidth).  Values are small duplicate-edge counts, so int8
+            # storage is exact below the overflow gate and quarters the
+            # kernel's HBM tile traffic (the kernel upcasts on load); one
+            # scalar fetch of the count max picks the storage dtype, same
+            # rule as the host build (sgt/translate.py).
+            def to_dev(meta_jax, host_meta):
+                if meta_jax.edge_pos is None:  # padded index space > int32
+                    tiles = build_a_tiles_host(host_meta)
+                    if tiles.max(initial=0.0) <= 127:
+                        return jnp.asarray(tiles.astype(np.int8))
+                    return jnp.asarray(tiles).astype(config.compute_dtype)
+                tiles_i32, mx = build_struct_tiles(
+                    meta_jax.edge_pos,
+                    num_blocks=meta_jax.num_blocks,
+                    blk_h=config.blk_h,
+                    blk_w=config.blk_w,
+                )
+                if int(mx) <= 127:
+                    return tiles_i32.astype(jnp.int8)
+                return tiles_i32.astype(config.compute_dtype)
 
-            a_struct = to_dev(build_a_tiles_host(self.host_meta))
+            a_struct = to_dev(self.meta, self.host_meta)
             a_struct_t = (
                 a_struct
                 if symmetric
-                else to_dev(build_a_tiles_host(self.host_meta_t))
+                else to_dev(self.meta_t, self.host_meta_t)
             )
         else:
             a_struct = a_struct_t = None
@@ -179,10 +224,10 @@ class TiledGraph:
                     if m.res_ptr is not None:
                         res_host = sparse_graph_translate(
                             m.res_ptr, m.res_idx, self.num_nodes, config,
-                            emit_chunks=False, build_tiles=True,
+                            emit_chunks=False, build_tiles=False,
                         )
                         res_meta = res_host.as_jax(lite=True)
-                        res_a = to_dev(build_a_tiles_host(res_host))
+                        res_a = to_dev(res_meta, res_host)
                         # Tail-pad blocks to the blockout kernel's group of 8
                         # (padding blocks: zero tiles, column 0, revisiting
                         # the LAST window with first=0 — zero contribution
@@ -227,7 +272,7 @@ class TiledGraph:
                 )
         self._device_arrays = (
             self.meta, self.meta_t, a_struct, a_struct_t, self._t_edge_src,
-            bd_pack_f, bd_pack_t,
+            bd_pack_f, bd_pack_t, smeta_f, smeta_t,
         )
 
         ops = self._make_ops(*self._device_arrays)
@@ -259,14 +304,36 @@ class TiledGraph:
 
     def _make_ops(
         self, meta, meta_t, a_struct, a_struct_t, t_edge_src,
-        bd_pack_f=None, bd_pack_t=None,
+        bd_pack_f=None, bd_pack_t=None, smeta_f=None, smeta_t=None,
     ):
         interpret = self.interpret
 
         def to_t(w):
             return w[t_edge_src]
 
-        if self.dense_tiles and bd_pack_f is not None:
+        if smeta_f is not None:
+            # Window-segment streamed chunk path (Reddit scale).
+
+            def spmm_f(x):
+                return spmm_tc_streamed(x, smeta_f, interpret=interpret)
+
+            def spmm_b(dy):
+                return spmm_tc_streamed(dy, smeta_t, interpret=interpret)
+
+            def spmm_w_f(x, w):
+                return spmm_tc_streamed(
+                    x, smeta_f, edge_weights=w, interpret=interpret
+                )
+
+            def spmm_w_b(dy, w):
+                return spmm_tc_streamed(
+                    dy, smeta_t, edge_weights=to_t(w), interpret=interpret
+                )
+
+            def sddmm_f(xa, xb):
+                return sddmm_tc_streamed(xa, smeta_f, xb, interpret=interpret)
+
+        elif self.dense_tiles and bd_pack_f is not None:
             cfg = self.config
 
             def _bd_spmm(x, pack, offsets):
@@ -484,6 +551,7 @@ class BoundGraph:
         self.config = parent.config
         self.dense_tiles = parent.dense_tiles
         self.block_diag = parent.block_diag
+        self.streamed = parent.streamed
 
 
 def tiled_graph_from_dataset(ds, config: TileConfig = DEFAULT_CONFIG, **kw) -> TiledGraph:

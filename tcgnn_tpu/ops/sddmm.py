@@ -164,6 +164,88 @@ def _sddmm_padded(
 
 
 # ---------------------------------------------------------------------------
+# Window-segment streamed chunk SDDMM (sgt/stream.py): scan one compiled
+# chunk kernel over S stacked segments — the SpMM counterpart lives in
+# ops/spmm.py (`spmm_tc_streamed`); see the design note there.
+# ---------------------------------------------------------------------------
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "wseg", "interpret", "d_tile")
+)
+def _sddmm_streamed_padded(
+    xa: jnp.ndarray,
+    xb: jnp.ndarray,
+    seg_col_ids: jnp.ndarray,
+    seg_r: jnp.ndarray,
+    seg_c: jnp.ndarray,
+    seg_block: jnp.ndarray,
+    seg_window: jnp.ndarray,
+    *,
+    cfg: TileConfig,
+    wseg: int,
+    interpret: bool,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Streamed chunk SDDMM; returns stacked scores [S, C_max, EC] f32.
+
+    The row side feeds each step the segment's own window rows (a
+    contiguous dynamic slice of the padded xa — windows are consecutive
+    row ranges, so no gather); the column side re-gathers the segment's
+    condensed slab inside the step.
+    """
+    num_segments = seg_r.shape[0]
+    rows = wseg * cfg.blk_h
+    xa_full = jnp.pad(xa, ((0, num_segments * rows - xa.shape[0]), (0, 0)))
+
+    def step(s, seg):
+        col_ids, r, c, blk, win = seg
+        xa_seg = jax.lax.dynamic_slice(
+            xa_full, (s * rows, 0), (rows, xa_full.shape[1])
+        )
+        scores = _sddmm_padded(
+            xa_seg, xb, col_ids, r, c, blk, win,
+            cfg=cfg, num_windows=wseg, interpret=interpret, d_tile=d_tile,
+        )
+        return s + 1, scores[:, 0, :]
+
+    _, outs = jax.lax.scan(
+        step, 0, (seg_col_ids, seg_r, seg_c, seg_block, seg_window)
+    )
+    return outs
+
+
+def sddmm_tc_streamed(
+    xa: jnp.ndarray,
+    smeta,
+    xb: jnp.ndarray | None = None,
+    *,
+    interpret: bool | None = None,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Streamed SDDMM: per-edge ``e_(i,j) = <xa[i], xb[j]>`` in CSR order.
+
+    ``smeta`` is a :class:`tcgnn_tpu.sgt.stream.StreamedJaxMeta`; same
+    semantics as :func:`sddmm_tc` (TCGNN_kernel.cu:584-728) past the
+    one-shot chunk kernels' SMEM/HBM ceilings.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    if xb is None:
+        xb = xa
+    n, d = xa.shape
+    d_pad = _round_up(max(d, 1), d_tile)
+    if d_pad != d:
+        xa = jnp.pad(xa, ((0, 0), (0, d_pad - d)))
+        xb = jnp.pad(xb, ((0, 0), (0, d_pad - d)))
+    scores = _sddmm_streamed_padded(
+        xa, xb,
+        smeta.seg_col_ids, smeta.seg_r, smeta.seg_c,
+        smeta.seg_block, smeta.seg_window,
+        cfg=smeta.config, wseg=smeta.wseg, interpret=interpret, d_tile=d_tile,
+    )
+    return scores.reshape(-1)[smeta.edge_perm]
+
+
+# ---------------------------------------------------------------------------
 # Dense-tile path: score tiles S_b = Xa[window(b)] @ Xg[b]^T computed as one
 # MXU matmul per (block, d-tile); per-edge scores gathered straight out of
 # the flat score tiles via meta.edge_pos (the GPU scatter epilogue,

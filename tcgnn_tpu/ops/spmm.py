@@ -493,6 +493,121 @@ def spmm_tc_blockout(
     return out[:n, :d]
 
 
+@functools.partial(jax.jit, static_argnames=("num_blocks", "blk_h", "blk_w"))
+def build_struct_tiles(edge_pos, *, num_blocks, blk_h, blk_w):
+    """Structural A-tiles [B, blk_h, blk_w] from per-edge flat positions.
+
+    Runs ON DEVICE: the host ships ``edge_pos`` (4 bytes/edge — needed by
+    the weighted paths anyway) instead of the materialized dense tile
+    array (``blk_h*blk_w`` bytes per block; amazon0601: 460 MB through the
+    slow tunnel).  Returns int32 duplicate-edge counts plus their max so
+    the caller can downcast to int8 storage exactly (mirrors the host
+    build's overflow rule, ``sgt/translate.py``).
+    """
+    flat = jnp.zeros((num_blocks * blk_h * blk_w,), jnp.int32)
+    flat = flat.at[edge_pos].add(1)
+    tiles = flat.reshape(num_blocks, blk_h, blk_w)
+    return tiles, jnp.max(tiles)
+
+
+# ---------------------------------------------------------------------------
+# Window-segment streamed chunk path (sgt/stream.py): lax.scan ONE compiled
+# chunk kernel over S stacked uniform segments.  Per-step SMEM holds C_max
+# prefetched chunks and the per-step condensed slab holds B_max*blk_w rows —
+# both bounded by construction — so graphs whose one-shot chunk metadata
+# overflows SMEM (Reddit: 172k+ chunks) or whose condensed slab overflows
+# HBM still run with the full feature matrix (only O(N*D)) resident.
+# ---------------------------------------------------------------------------
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "wseg", "weighted", "interpret", "d_tile"),
+)
+def _spmm_streamed_padded(
+    x: jnp.ndarray,
+    w_tbl: jnp.ndarray,
+    seg_col_ids: jnp.ndarray,
+    seg_r: jnp.ndarray,
+    seg_c: jnp.ndarray,
+    seg_edge_id: jnp.ndarray,
+    seg_block: jnp.ndarray,
+    seg_window: jnp.ndarray,
+    seg_first: jnp.ndarray,
+    *,
+    cfg: TileConfig,
+    wseg: int,
+    weighted: bool,
+    interpret: bool,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Streamed chunk SpMM; returns [S * wseg * blk_h, Dpad] f32.
+
+    Each scan step is exactly one `_spmm_padded` segment call: the
+    segment's condensed gather + chunk kernel, with segment-relative
+    window ids so the output tile space is the segment's own
+    [wseg * blk_h, Dpad] slab.  Per-chunk edge weights are gathered from
+    ``w_tbl`` (num_edges + 1 entries; the sentinel reads the appended
+    zero) inside the step so no [Cn, EC] weight array is ever resident.
+    """
+    num_segments = seg_r.shape[0]
+
+    def step(_, seg):
+        col_ids, r, c, eid, blk, win, first = seg
+        cw = w_tbl[eid] if weighted else jnp.zeros(r.shape, jnp.float32)
+        out_s = _spmm_padded(
+            x, col_ids, r, c, cw, blk, win, first,
+            cfg=cfg, num_windows=wseg, weighted=weighted,
+            interpret=interpret, d_tile=d_tile,
+        )
+        return None, out_s
+
+    _, outs = jax.lax.scan(
+        step,
+        None,
+        (seg_col_ids, seg_r, seg_c, seg_edge_id, seg_block, seg_window,
+         seg_first),
+    )
+    return outs.reshape(num_segments * wseg * cfg.blk_h, x.shape[1])
+
+
+def spmm_tc_streamed(
+    x: jnp.ndarray,
+    smeta,
+    edge_weights: jnp.ndarray | None = None,
+    *,
+    interpret: bool | None = None,
+    d_tile: int = 128,
+) -> jnp.ndarray:
+    """Streamed tensor-core SpMM: ``out = A @ x`` over window segments.
+
+    ``smeta`` is a :class:`tcgnn_tpu.sgt.stream.StreamedJaxMeta`.  Same
+    semantics as :func:`spmm_tc` (TCGNN_kernel.cu:336-454 /459-578), for
+    graphs past the one-shot chunk kernels' SMEM/HBM ceilings.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    cfg = smeta.config
+    n, d = x.shape
+    d_pad = _round_up(max(d, 1), d_tile)
+    if d_pad != d:
+        x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    if edge_weights is None:
+        weighted = False
+        w_tbl = jnp.zeros((1,), jnp.float32)
+    else:
+        weighted = True
+        w_tbl = jnp.concatenate(
+            [edge_weights.astype(jnp.float32), jnp.zeros((1,), jnp.float32)]
+        )
+    out = _spmm_streamed_padded(
+        x, w_tbl,
+        smeta.seg_col_ids, smeta.seg_r, smeta.seg_c, smeta.seg_edge_id,
+        smeta.seg_block, smeta.seg_window, smeta.seg_first,
+        cfg=cfg, wseg=smeta.wseg, weighted=weighted,
+        interpret=interpret, d_tile=d_tile,
+    )
+    return out[:n, :d]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nbins", "bn"))
 def build_bd_pack(tile_idx, tile_cnt, *, k, nbins, bn) -> jnp.ndarray:
     """Sparse (idx, cnt) tile contents -> the kernel's [Bp, bin, K*bin] pack.
