@@ -8,6 +8,25 @@ harness, and a shard_map-based multi-chip distribution layer the reference
 never had.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persist XLA compilations across processes (~/.cache/tcgnn_tpu_jax).  On
+# tunneled TPU backends a remote compile costs seconds to tens of seconds
+# per kernel shape; caching makes prep steady-state one-time per machine —
+# the analogue of the reference's ahead-of-time nvcc build (TCGNN.cpp via
+# setup.py).  Opt out with TCGNN_TPU_NO_COMPILE_CACHE=1 or by setting
+# jax_compilation_cache_dir yourself before importing tcgnn_tpu.
+if (
+    _os.environ.get("TCGNN_TPU_NO_COMPILE_CACHE") != "1"
+    and _jax.config.jax_compilation_cache_dir is None
+):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/tcgnn_tpu_jax"),
+    )
+
 from tcgnn_tpu.config import DEFAULT_CONFIG, GPU_REFERENCE_CONFIG, TileConfig
 from tcgnn_tpu.graph import TiledGraph, tiled_graph_from_dataset
 

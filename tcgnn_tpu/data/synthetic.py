@@ -146,6 +146,49 @@ def powerlaw_graph(
     perm = rng.permutation(num_nodes)
     target_pairs = max(num_edges // 2, 1)
 
+    # Dense graphs (reddit-class, avg degree ~500): Zipf pair-sampling
+    # saturates on hub collisions long before the target and each top-up
+    # round re-sorts the full key set — O(10 min) and ~7x short on edges.
+    # Sample a per-source degree sequence instead: duplicates are then
+    # rare (per-node birthday bound, not per-hub), one dedup suffices.
+    if num_edges // max(num_nodes, 1) > 64:
+        ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
+        w = ranks ** (-(alpha - 1.0))  # Zipf-ish expected-degree profile
+        cap = max(num_nodes // 16, 1024)  # hubs can't exceed N neighbors
+        scale = target_pairs / w.sum()
+        for _ in range(4):  # rescale uncapped mass to absorb capped excess
+            deg = np.minimum(cap, np.maximum(1, np.round(w * scale)))
+            short = target_pairs - deg.sum()
+            uncapped = w[deg < cap].sum()
+            if short <= 0 or uncapped <= 0:
+                break
+            scale += short / uncapped
+        deg = deg.astype(np.int64)[np.argsort(perm)]
+        span = max(int(num_nodes * 0.02), 8)
+        keys = np.empty(0, dtype=np.int64)
+        for rnd in range(4):
+            src = np.repeat(np.arange(num_nodes, dtype=np.int64), deg)
+            m = len(src)
+            loc_frac = locality if rnd == 0 else 0.0  # top-ups go global
+            local = (src + rng.integers(-span, span + 1, size=m)) % num_nodes
+            glob = rng.integers(0, num_nodes, size=m)
+            dst = np.where(rng.random(m) < loc_frac, local, glob)
+            keep = src != dst
+            a = np.minimum(src[keep], dst[keep])
+            b = np.maximum(src[keep], dst[keep])
+            keys = np.unique(
+                np.concatenate([keys, a * np.int64(num_nodes) + b])
+            )
+            deficit = target_pairs - len(keys)
+            if deficit <= 0:
+                break
+            # resample the shortfall proportional to the degree profile
+            deg = np.maximum(
+                np.round(deg * (deficit / max(deg.sum(), 1))), 1
+            ).astype(np.int64)
+        a, b = keys // num_nodes, keys % num_nodes
+        return np.concatenate([a, b]), np.concatenate([b, a])
+
     keys = np.empty(0, dtype=np.int64)
     # Zipf sampling + dedup collapses heavily on hubs; top up in rounds
     # until the undirected pair count reaches the target.

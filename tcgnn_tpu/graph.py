@@ -175,8 +175,18 @@ class TiledGraph:
             # kernel's HBM tile traffic (the kernel upcasts on load); one
             # scalar fetch of the count max picks the storage dtype, same
             # rule as the host build (sgt/translate.py).
+            # Below ~48 MB of int8 tiles the host build + upload is
+            # cheaper than the device scatter's one-time remote compile
+            # (~8 s through the tunnel at any size); above it the upload
+            # dominates (460 MB ≈ 11 s) and the device build wins.
+            host_build_limit = 48 << 20
+
             def to_dev(meta_jax, host_meta):
-                if meta_jax.edge_pos is None:  # padded index space > int32
+                small = (
+                    host_meta.num_blocks * config.blk_h * config.blk_w
+                    <= host_build_limit
+                )
+                if small or meta_jax.edge_pos is None:
                     tiles = build_a_tiles_host(host_meta)
                     if tiles.max(initial=0.0) <= 127:
                         return jnp.asarray(tiles.astype(np.int8))

@@ -493,7 +493,14 @@ def spmm_tc_blockout(
     return out[:n, :d]
 
 
-@functools.partial(jax.jit, static_argnames=("num_blocks", "blk_h", "blk_w"))
+@functools.partial(jax.jit, static_argnames=("padded_blocks", "blk_h", "blk_w"))
+def _build_struct_tiles_padded(edge_pos, *, padded_blocks, blk_h, blk_w):
+    flat = jnp.zeros((padded_blocks * blk_h * blk_w,), jnp.int32)
+    flat = flat.at[edge_pos].add(1)
+    tiles = flat.reshape(padded_blocks, blk_h, blk_w)
+    return tiles, jnp.max(tiles)
+
+
 def build_struct_tiles(edge_pos, *, num_blocks, blk_h, blk_w):
     """Structural A-tiles [B, blk_h, blk_w] from per-edge flat positions.
 
@@ -503,11 +510,20 @@ def build_struct_tiles(edge_pos, *, num_blocks, blk_h, blk_w):
     slow tunnel).  Returns int32 duplicate-edge counts plus their max so
     the caller can downcast to int8 storage exactly (mirrors the host
     build's overflow rule, ``sgt/translate.py``).
+
+    The scatter compiles per OUTPUT SHAPE and a remote compile costs
+    seconds through the tunnel, so the block count is bucketed to the
+    next power of two (≤2x transient HBM) and the result sliced back —
+    every graph in a sweep shares a handful of compilations.
     """
-    flat = jnp.zeros((num_blocks * blk_h * blk_w,), jnp.int32)
-    flat = flat.at[edge_pos].add(1)
-    tiles = flat.reshape(num_blocks, blk_h, blk_w)
-    return tiles, jnp.max(tiles)
+    cap = (2**31 - 1) // (blk_h * blk_w)  # edge_pos is int32 (translate.py)
+    padded = 1 << max(8, (num_blocks - 1).bit_length())
+    if padded > cap:
+        padded = min(cap, -(-num_blocks // 1024) * 1024)
+    tiles, mx = _build_struct_tiles_padded(
+        edge_pos, padded_blocks=padded, blk_h=blk_h, blk_w=blk_w
+    )
+    return tiles[:num_blocks], mx
 
 
 # ---------------------------------------------------------------------------
