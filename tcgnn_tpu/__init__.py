@@ -12,6 +12,13 @@ import os as _os
 
 import jax as _jax
 
+# The axon TPU plugin registers its backend regardless of the JAX_PLATFORMS
+# env var, so an explicit cpu request (tests, virtual-device meshes, or a
+# downed tunnel) must also flip the config knob — otherwise every CLI stalls
+# on tunnel initialization it was told to avoid.
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    _jax.config.update("jax_platforms", "cpu")
+
 # Persist XLA compilations across processes (~/.cache/tcgnn_tpu_jax).  On
 # tunneled TPU backends a remote compile costs seconds to tens of seconds
 # per kernel shape; caching makes prep steady-state one-time per machine —

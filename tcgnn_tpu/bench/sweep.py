@@ -19,6 +19,8 @@ import gc
 import sys
 import traceback
 
+import jax
+
 from tcgnn_tpu.bench.datasets import AE_TABLE, AGNN_CONFIG, GCN_CONFIG
 
 
@@ -43,6 +45,10 @@ def run_one(module_main, name, dim, classes, args, extra=()):
         return ms
     except Exception:
         traceback.print_exc()
+        # A failed run (e.g. device OOM) must not poison later datasets in
+        # this process: drop cached executables holding device buffers.
+        jax.clear_caches()
+        gc.collect()
         return None
 
 

@@ -35,8 +35,11 @@ from tcgnn_tpu.ops.sddmm import (
     sddmm_tc_streamed,
 )
 from tcgnn_tpu.ops.spmm import (
+    _bd_transpose_core,
     _spmm_colspace_padded,
     _spmm_fused_padded,
+    bd_scatter_weights,
+    bd_score_tiles,
     build_a_tiles,
     build_bd_pack,
     build_struct_tiles,
@@ -78,6 +81,7 @@ class TiledGraph:
         dense_tiles: Optional[bool] = None,
         block_diag: Optional[bool] = None,
         streamed: Optional[bool] = None,
+        weighted_traffic: bool = False,
     ):
         row_pointers = np.asarray(row_pointers)
         column_index = np.asarray(column_index)
@@ -117,6 +121,47 @@ class TiledGraph:
         fits_int32 = max(nb_f, nb_t) * tile_elems < 2**31
         # Structural tiles are int8 and shared when symmetric.
         dense_bytes = (nb_f if symmetric else nb_f + nb_t) * tile_elems
+        self._bdm_probe = None  # pre-extracted BD decomposition (reused below)
+        itemsize = jnp.dtype(config.compute_dtype).itemsize
+        # Would the condensed fused-AGNN path's score/weighted tiles (≈4
+        # compute-width tile arrays alive across fwd+bwd) fit?  Gates the
+        # dense fused attention path below.
+        self._fused_dense_ok = (
+            dense_bytes + 4 * nb_f * tile_elems * itemsize
+            <= DENSE_TILE_BUDGET_BYTES
+        )
+        if weighted_traffic and not (symmetric and self._fused_dense_ok):
+            # Attention models (AGNN) materialize per-layer WEIGHTED/score
+            # tiles at the compute dtype on top of the int8 structural
+            # tiles; forward+backward keep several alive at once, so the
+            # dense path must also budget ~4 compute-width tile arrays or
+            # the epoch OOMs on big-block graphs (OVCAR-class: 18k blocks
+            # = 2.4 GB bf16 each).  Symmetric graphs whose FUSED path fits
+            # (checked above) never materialize them, hence no penalty.
+            # The chunk kernels' weighted form needs only O(E) per-edge
+            # scalars — but so does the BLOCK-DIAGONAL weighted path
+            # (transient [Bp, bn, K*bn] packs), so probe a BD decomposition
+            # before demoting a banded graph to the chunks.
+            weighted_extra = 4 * nb_f * tile_elems * itemsize
+            if (
+                dense_tiles is not False
+                and block_diag is not False
+                and fits_int32
+                and dense_bytes <= DENSE_TILE_BUDGET_BYTES
+                and dense_bytes + weighted_extra > DENSE_TILE_BUDGET_BYTES
+            ):
+                bdm = extract_block_diag(row_pointers, column_index, num_nodes)
+                bdm_t = (
+                    bdm
+                    if (symmetric or bdm is None)
+                    else extract_block_diag(t_ptr, t_idx, num_nodes)
+                )
+                if bdm is not None and bdm_t is not None:
+                    self._bdm_probe = (bdm, bdm_t)
+                    kmax = max(len(bdm.offsets), len(bdm_t.offsets))
+                    bd_tile_elems = kmax * bdm.num_bins * bdm.bin_rows**2
+                    weighted_extra = 3 * bd_tile_elems * itemsize
+            dense_bytes += weighted_extra
         if dense_tiles is None:
             dense_tiles = fits_int32 and dense_bytes <= DENSE_TILE_BUDGET_BYTES
         elif dense_tiles and not fits_int32:
@@ -201,14 +246,14 @@ class TiledGraph:
                     return tiles_i32.astype(jnp.int8)
                 return tiles_i32.astype(config.compute_dtype)
 
-            a_struct = to_dev(self.meta, self.host_meta)
-            a_struct_t = (
-                a_struct
-                if symmetric
-                else to_dev(self.meta_t, self.host_meta_t)
-            )
         else:
-            a_struct = a_struct_t = None
+            to_dev = None
+        # The condensed structural tiles are built AFTER the block-diagonal
+        # probe below: a fully-covered BD graph serves every op (unweighted,
+        # weighted, SDDMM, fused attention) from the packed diagonal tiles,
+        # so the [B, blk_h, blk_w] array (OVCAR-class: 1.2 GB) would be dead
+        # HBM weight + prep time.
+        a_struct = a_struct_t = None
 
         # Block-diagonal fast path (sgt/blockdiag.py): when the (reordered)
         # adjacency is banded/component-structured, the unweighted SpMM runs
@@ -217,18 +262,25 @@ class TiledGraph:
         # power-law graphs keep the condensed-gather design automatically.
         self.block_diag = False
         self._bd_offsets = self._bd_offsets_t = None
+        self._bd_full_coverage = False
         bd_pack_f = bd_pack_t = None
         if dense_tiles and block_diag is not False:
-            bdm = extract_block_diag(row_pointers, column_index, num_nodes)
-            bdm_t = (
-                bdm
-                if (symmetric or bdm is None)
-                else extract_block_diag(t_ptr, t_idx, num_nodes)
-            )
+            if self._bdm_probe is not None:
+                bdm, bdm_t = self._bdm_probe
+            else:
+                bdm = extract_block_diag(row_pointers, column_index, num_nodes)
+                bdm_t = (
+                    bdm
+                    if (symmetric or bdm is None)
+                    else extract_block_diag(t_ptr, t_idx, num_nodes)
+                )
             if bdm is not None and bdm_t is not None:
                 self.block_diag = True
                 self._bd_offsets = bdm.offsets
                 self._bd_offsets_t = bdm_t.offsets
+                self._bd_full_coverage = (
+                    bdm.coverage == 1.0 and bdm_t.coverage == 1.0
+                )
 
                 def bd_dev(m):
                     if m.res_ptr is not None:
@@ -271,7 +323,23 @@ class TiledGraph:
                         nbins=m.num_bins,
                         bn=m.bin_rows,
                     )
-                    return (pack, res_meta, res_a)
+                    # Per-edge scatter/gather addresses for the weighted /
+                    # SDDMM BD ops (packed-layout flat indices + CSR edge
+                    # positions); int32 when the pack's flat space allows.
+                    cov_pack = m.packed_cov_idx()
+                    pack_elems = (
+                        pack.shape[0] * pack.shape[1] * pack.shape[2]
+                    )
+                    if pack_elems < 2**31:
+                        cov_pack = cov_pack.astype(np.int32)
+                    cov_pack = jnp.asarray(cov_pack)
+                    cov_ids = jnp.asarray(m.cov_edge_ids.astype(np.int32))
+                    res_ids = (
+                        None
+                        if m.res_edge_ids is None
+                        else jnp.asarray(m.res_edge_ids.astype(np.int32))
+                    )
+                    return (pack, res_meta, res_a, cov_pack, cov_ids, res_ids)
 
                 bd_pack_f = bd_dev(bdm)
                 bd_pack_t = bd_pack_f if symmetric else bd_dev(bdm_t)
@@ -280,6 +348,13 @@ class TiledGraph:
                     "block_diag requested but coverage is below the gate "
                     "for this graph/ordering"
                 )
+        if dense_tiles and not (self.block_diag and self._bd_full_coverage):
+            a_struct = to_dev(self.meta, self.host_meta)
+            a_struct_t = (
+                a_struct
+                if symmetric
+                else to_dev(self.meta_t, self.host_meta_t)
+            )
         self._device_arrays = (
             self.meta, self.meta_t, a_struct, a_struct_t, self._t_edge_src,
             bd_pack_f, bd_pack_t, smeta_f, smeta_t,
@@ -347,7 +422,7 @@ class TiledGraph:
             cfg = self.config
 
             def _bd_spmm(x, pack, offsets):
-                tiles, res_meta, res_a = pack
+                tiles, res_meta, res_a = pack[:3]
                 out = spmm_block_diag(
                     x, tiles, offsets=offsets, cfg=cfg, interpret=interpret
                 )
@@ -377,18 +452,52 @@ class TiledGraph:
             def spmm_b(dy):
                 return _bd_spmm(dy, bd_pack_t, self._bd_offsets_t)
 
-            def spmm_w_f(x, w):
-                return spmm_tc_dense(
-                    x, meta, build_a_tiles(meta, w), interpret=interpret
+            # Weighted SpMM / SDDMM stay in BD tile space: per-edge weights
+            # scatter into a transient [Bp, bn, K*bn] pack (compute dtype)
+            # and scores come off one batched x_bins @ stack^T matmul — no
+            # condensed-space weighted-tile materialization (OVCAR-class:
+            # 2.4 GB per layer) and no condensed gather.
+            n_edges = self.num_edges
+
+            def _bd_weighted(x, w_dir, pack, offsets):
+                tiles, res_meta, _, cov_pack, cov_ids, res_ids = pack
+                bp, bn = tiles.shape[0], tiles.shape[1]
+                wt = bd_scatter_weights(
+                    w_dir[cov_ids], cov_pack,
+                    bp=bp, bn=bn, k=len(offsets), dtype=cfg.compute_dtype,
                 )
+                out = spmm_block_diag(
+                    x, wt, offsets=offsets, cfg=cfg, interpret=interpret
+                )
+                if res_meta is not None:
+                    out = out + spmm_tc_dense(
+                        x, res_meta, build_a_tiles(res_meta, w_dir[res_ids]),
+                        interpret=interpret,
+                    )
+                return out
+
+            def spmm_w_f(x, w):
+                return _bd_weighted(x, w, bd_pack_f, self._bd_offsets)
 
             def spmm_w_b(dy, w):
-                return spmm_tc_dense(
-                    dy, meta_t, build_a_tiles(meta_t, to_t(w)), interpret=interpret
-                )
+                return _bd_weighted(dy, to_t(w), bd_pack_t, self._bd_offsets_t)
 
             def sddmm_f(xa, xb):
-                return sddmm_tc_dense(xa, meta, xb, interpret=interpret)
+                tiles, res_meta, _, cov_pack, cov_ids, res_ids = bd_pack_f
+                bp, bn = tiles.shape[0], tiles.shape[1]
+                s = bd_score_tiles(
+                    xa, xb, bp=bp, bn=bn, offsets=self._bd_offsets,
+                    cfg=cfg, interpret=interpret,
+                )
+                e = jnp.zeros((n_edges,), jnp.float32)
+                e = e.at[cov_ids].set(
+                    s.reshape(-1)[cov_pack].astype(jnp.float32)
+                )
+                if res_meta is not None:
+                    e = e.at[res_ids].set(
+                        sddmm_tc_dense(xa, res_meta, xb, interpret=interpret)
+                    )
+                return e
 
         elif self.dense_tiles:
 
@@ -487,7 +596,66 @@ class TiledGraph:
         # tiles, S symmetric), with the column-space kernel covering the
         # second SDDMM gradient term.
         agnn_aggregate = None
-        if self.dense_tiles and self.symmetric:
+        if (
+            self.dense_tiles
+            and self.symmetric
+            and bd_pack_f is not None
+            and self._bd_full_coverage
+        ):
+            # Fused attention in PACKED DIAGONAL space: the weighted pack is
+            # C ⊙ S formed transiently from the structural counts and the BD
+            # score tiles — no gather, no condensed-space tile arrays.  Full
+            # coverage only (a residual would need its own per-edge att
+            # terms in this VJP; partial-coverage graphs take the per-edge
+            # BD ops above instead).  Math is identical to the condensed
+            # fused path below: y = mean(c) * (A ⊙ S) x with S = X X^T.
+            cfg = self.config
+            offs = self._bd_offsets
+            bd_tiles = bd_pack_f[0]
+            bp, bn = bd_tiles.shape[0], bd_tiles.shape[1]
+            ct = cfg.compute_dtype
+
+            def _bd_s(xa, xb):
+                return bd_score_tiles(
+                    xa, xb, bp=bp, bn=bn, offsets=offs,
+                    cfg=cfg, interpret=interpret,
+                )
+
+            def _bd_core(x, wt):
+                return spmm_block_diag(
+                    x, wt, offsets=offs, cfg=cfg, interpret=interpret
+                )
+
+            @jax.custom_vjp
+            def agnn_aggregate(x, att_w):
+                cbar = jnp.mean(att_w)
+                return cbar * _bd_core(x, bd_tiles.astype(ct) * _bd_s(x, x))
+
+            def agnn_fwd(x, att_w):
+                return agnn_aggregate(x, att_w), (x, att_w)
+
+            def agnn_bwd(res, dy):
+                x, att_w = res
+                cbar = jnp.mean(att_w)
+                c = bd_tiles.astype(ct)
+                cs = c * _bd_s(x, x)       # rematerialized, S_ij = <x_i, x_j>
+                t = c * _bd_s(dy, x)       # T_ij = <dy_i, x_j>
+                # Same three-term dx as the condensed fused path (symmetry
+                # makes (A⊙S)^T == A⊙S); the column-space term rides the
+                # packed transpose-apply.
+                t1 = _bd_core(dy, cs)
+                t2a = _bd_core(x, t)
+                t2b = _bd_transpose_core(
+                    x, t, offsets=offs, cfg=cfg, interpret=interpret
+                )[: x.shape[0], : x.shape[1]]
+                dx = cbar * (t1 + t2a + t2b)
+                u = _bd_core(x, cs)
+                d_cbar = jnp.vdot(dy.astype(jnp.float32), u)
+                datt = jnp.full(att_w.shape, d_cbar / att_w.size, att_w.dtype)
+                return dx, datt
+
+            agnn_aggregate.defvjp(agnn_fwd, agnn_bwd)
+        elif self.dense_tiles and self.symmetric and self._fused_dense_ok:
             from tcgnn_tpu.ops.spmm import default_interpret
 
             interp = default_interpret() if interpret is None else interpret

@@ -414,20 +414,7 @@ def _spmm_bd_core(
     del interpret, d_tile
     ct = cfg.compute_dtype
     nbins, bn = tiles.shape[0], tiles.shape[1]
-    n, d = x.shape
-    kmin, kmax = min(offsets), max(offsets)
-
-    # Zero rim bins stand in for wrap-around: y[b] reads x[b + k], and
-    # out-of-range contributions multiply all-zero tiles anyway.
-    xb = x.astype(ct)
-    xb = jnp.pad(
-        xb, ((-kmin * bn, (nbins * bn - n) + kmax * bn), (0, 0))
-    ).reshape(nbins + (kmax - kmin), bn, d)
-    # K static slices + stack (plain contiguous copies — a slab gather via
-    # jnp.take measures ~4x slower here).
-    xs = jnp.stack(
-        [xb[k - kmin:k - kmin + nbins] for k in offsets], axis=1
-    ).reshape(nbins, len(offsets) * bn, d)
+    xs = _bd_stack(x, nbins, bn, offsets, ct)
     out = jnp.einsum(
         "bik,bkd->bid",
         tiles.astype(ct),
@@ -435,7 +422,104 @@ def _spmm_bd_core(
         preferred_element_type=jnp.float32,
         precision=_mxu_precision(ct),
     )
-    return out.reshape(nbins * bn, d)
+    return out.reshape(nbins * bn, x.shape[1])
+
+
+def _bd_stack(x, nbins, bn, offsets, ct):
+    """Halo stack ``xs[b] = vstack(x_bin[b+k] for k in offsets)``.
+
+    [nbins, K*bn, d]: the vertical stack of each bin's K shifted feature
+    bins — the right operand for every packed-[bn, K*bn]-tile contraction.
+    Zero rim bins stand in for wrap-around: a reader of x[b+k] out of range
+    multiplies all-zero tiles anyway.  K static slices + stack (plain
+    contiguous copies — a slab gather via jnp.take measures ~4x slower).
+    """
+    n, d = x.shape
+    kmin, kmax = min(offsets), max(offsets)
+    xb = x.astype(ct)
+    xb = jnp.pad(
+        xb, ((-kmin * bn, (nbins * bn - n) + kmax * bn), (0, 0))
+    ).reshape(nbins + (kmax - kmin), bn, d)
+    return jnp.stack(
+        [xb[k - kmin:k - kmin + nbins] for k in offsets], axis=1
+    ).reshape(nbins, len(offsets) * bn, d)
+
+
+def _bd_bins(x, nbins, bn, ct):
+    """[nbins, bn, d] row bins of x (zero-padded past n)."""
+    n, d = x.shape
+    return jnp.pad(x.astype(ct), ((0, nbins * bn - n), (0, 0))).reshape(
+        nbins, bn, d
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bp", "bn", "offsets", "cfg", "interpret")
+)
+def bd_score_tiles(xa, xb, *, bp, bn, offsets, cfg, interpret):
+    """Packed per-tile dot-product scores (the BD-space SDDMM front half).
+
+    ``S[b, i, k*bn + j] = <xa[b*bn + i], xb[(b+k)*bn + j]>`` — one batched
+    MXU matmul per bin row, same packed [Bp, bn, K*bn] layout as the
+    structural pack so a flat gather at ``cov_pack_idx`` yields per-edge
+    scores and an elementwise ``C * S`` yields the fused weighted tiles.
+    Scores are emitted at the compute dtype: the MXU accumulates
+    f32 and the weighted aggregation re-accumulates f32 downstream, exactly
+    like the condensed-space dense SDDMM (sddmm_tc_dense_tiles).
+    """
+    del interpret
+    ct = cfg.compute_dtype
+    xab = _bd_bins(xa, bp, bn, ct)
+    xs = _bd_stack(xb, bp, bn, offsets, ct)
+    s = jnp.einsum(
+        "bid,bkd->bik",
+        xab,
+        xs,
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(ct),
+    )
+    return s.astype(ct)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "cfg", "interpret"))
+def _bd_transpose_core(x, tiles, *, offsets, cfg, interpret):
+    """``out = (A_bd)^T @ x``: per offset k, ``out[b+k] += D_k[b]^T x[b]``.
+
+    Serves the fused-AGNN backward's column-space term on value tiles that
+    exist only in the FORWARD pack layout (re-scattering them into the
+    transpose pack would cost a [Bp*bn*K*bn] gather); K <= MAX_BD_OFFSETS
+    static shift-adds keep it a handful of contiguous copies.
+    """
+    del interpret
+    ct = cfg.compute_dtype
+    bp, bn = tiles.shape[0], tiles.shape[1]
+    d = x.shape[1]
+    xbin = _bd_bins(x, bp, bn, ct)
+    z = jnp.einsum(
+        "bik,bid->bkd",
+        tiles.astype(ct),
+        xbin,
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(ct),
+    )
+    kmin, kmax = min(offsets), max(offsets)
+    out = jnp.zeros((bp + (kmax - kmin), bn, d), jnp.float32)
+    for i, k in enumerate(offsets):
+        out = out.at[k - kmin : k - kmin + bp].add(
+            z[:, i * bn : (i + 1) * bn, :]
+        )
+    return out[-kmin : -kmin + bp].reshape(bp * bn, d)
+
+
+def bd_scatter_weights(w_cov, cov_pack_idx, *, bp, bn, k, dtype):
+    """Per-edge weights -> packed [Bp, bn, K*bn] weighted tiles.
+
+    Duplicate edges scatter-add onto the same cell, matching the structural
+    pack's duplicate counts (``A_w[i,j] = sum_{e=(i,j)} w_e``).
+    """
+    flat = jnp.zeros((bp * bn * k * bn,), dtype)
+    flat = flat.at[cov_pack_idx].add(w_cov.astype(dtype))
+    return flat.reshape(bp, bn, k * bn)
 
 
 @functools.partial(

@@ -83,6 +83,18 @@ class BDMeta:
     cov_edge_ids: np.ndarray      # positions of covered edges in CSR order
     cov_flat_idx: np.ndarray      # flat index into tiles[K*B*bin*bin]
 
+    def packed_cov_idx(self) -> np.ndarray:
+        """``cov_flat_idx`` ([K, B, bin, bin] layout) re-addressed into the
+        kernel's packed [Bp, bin, K*bin] layout (``ops.spmm.build_bd_pack``)
+        so per-edge weights/scores scatter/gather straight against the pack.
+        Row-major in (b, r, k, c); independent of the Bp bin padding."""
+        bn, nb, k = self.bin_rows, self.num_bins, len(self.offsets)
+        bnbn = bn * bn
+        ki, rem = np.divmod(self.cov_flat_idx, nb * bnbn)
+        b, rc = np.divmod(rem, bnbn)
+        r, c = np.divmod(rc, bn)
+        return (b * bn + r) * (k * bn) + ki * bn + c
+
     def dense_tiles(self) -> np.ndarray:
         """Materialize the [K, B, bin, bin] tile array (tests/analytics)."""
         k = len(self.offsets)

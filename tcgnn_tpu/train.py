@@ -319,7 +319,9 @@ def main(argv=None):
     # ---- SGT preprocessing (the reference's "Prep." stage) ----------------
     start = time.perf_counter()
     graph = TiledGraph(
-        ds.row_pointers, ds.column_index, ds.num_nodes, cfg, symmetric=args.symmetric
+        ds.row_pointers, ds.column_index, ds.num_nodes, cfg,
+        symmetric=args.symmetric,
+        weighted_traffic=args.model == "agnn",
     )
     prep = time.perf_counter() - start
     print("TC_Blocks:\t{}\nExp_Edges:\t{}".format(graph.tc_blocks, graph.exp_edges))
