@@ -87,10 +87,19 @@ def gcn_conv(
     # at the projected width — and avoids projecting before the (cheap-width)
     # aggregation.  Wide inputs (e.g. citeseer's 3703-dim) still project
     # first.  The block-diagonal path has no gather and its cost scales with
-    # the feature width, so there the classic order (project down first)
-    # wins whenever out_dim < in_dim.
+    # the PHYSICAL feature width.  On TPU that is the minor dim lane-padded
+    # to 128, so compare padded widths — below 128 lanes every width costs
+    # the same, a narrower-than-128 logit head is NOT cheaper to aggregate,
+    # and sub-lane widths measurably hurt (PROTEINS_full GCN ran 4.8x
+    # slower than GIN on the same tiling with its layer-2 aggregate at the
+    # 2-wide class side instead of the 16-wide hidden side); ties prefer
+    # aggregate-first, gin_conv's schedule.  Off-TPU (CPU tests) there is
+    # no lane padding and the raw-width comparison stands.
     if getattr(graph, "block_diag", False):
-        aggregate_first = in_dim <= out_dim
+        if jax.default_backend() == "tpu":
+            aggregate_first = -(-in_dim // 128) <= -(-out_dim // 128)
+        else:
+            aggregate_first = in_dim <= out_dim
     else:
         aggregate_first = in_dim <= max(out_dim, 128)
     if aggregate_first:
