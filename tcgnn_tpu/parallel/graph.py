@@ -83,7 +83,9 @@ _DENSE_FIELDS = (
 )
 
 
-_OVERLAP_KEYS = ("a_tiles", "col_ids", "block_window", "block_first_in_window")
+_OVERLAP_KEYS = (
+    "a_tiles", "col_ids", "block_window", "block_first_in_window", "edge_pos"
+)
 
 
 def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> dict:
@@ -409,24 +411,81 @@ class DistributedTiledGraph:
                 s = jax.lax.psum(s, "feature")
             return s
 
-        # ---- halo-overlap unweighted SpMM ----------------------------------
+        # ---- halo-overlap SpMM / weighted SpMM / SDDMM ---------------------
         # Blocks whose edges are all shard-resident run against the local
         # feature slab while the boundary exchange is in flight; XLA's async
         # collectives overlap the two.  (The reference has no multi-device
         # analogue; this is the TPU counterpart of overlapping shared-memory
-        # loads with WMMA compute inside one GPU kernel.)
-        def local_spmm_overlap(x_loc, w_loc, *meta):
-            (send_idx, lt, lc, lw, lf, rt, rc, rw, rf) = meta
-            x_ext = halo_exchange(x_loc, send_idx)
-            out_local = _spmm_dense_padded(
-                x_loc, lt[0], lc[0], lw[0], lf[0],
-                cfg=cfg, num_windows=wd, interpret=interpret, d_tile=d_tile,
-            )
-            out_remote = _spmm_dense_padded(
-                x_ext, rt[0], rc[0], rw[0], rf[0],
-                cfg=cfg, num_windows=wd, interpret=interpret, d_tile=d_tile,
-            )
-            return out_local + out_remote
+        # loads with WMMA compute inside one GPU kernel.)  Weighted tiles
+        # are built per class by scattering the per-edge scalars at the
+        # class-relative ``edge_pos`` (other-class edges carry an
+        # out-of-bounds sentinel that ``mode="drop"``/``mode="fill"``
+        # silently ignores — see partition._stack_overlap).
+        _OV_FIELDS = (
+            ("send_idx", "edge_valid")
+            + tuple("l_" + k for k in _OVERLAP_KEYS)
+            + tuple("r_" + k for k in _OVERLAP_KEYS)
+        )
+
+        def _overlap_edge_vals(m, w_loc, use_fwd_slot):
+            """Per-edge weight scalars in this shard's layout (f32)."""
+            if use_fwd_slot:
+                # Forward-ordered weights: gather all shards' slabs, then
+                # index through the per-t-edge slot table.  (Per-edge
+                # scalars — O(E) total, small next to features.)
+                w_all = jax.lax.all_gather(w_loc, "graph", axis=0, tiled=True)
+                w_ext = jnp.concatenate([w_all, jnp.zeros((1,), w_all.dtype)])
+                return w_ext[m["edge_fwd_slot"][0]].astype(jnp.float32)
+            return jnp.where(m["edge_valid"][0], w_loc, 0.0).astype(jnp.float32)
+
+        def local_spmm_overlap(x_loc, w_loc, *meta, weighted, use_fwd_slot):
+            names = _OV_FIELDS + (("edge_fwd_slot",) if use_fwd_slot else ())
+            m = dict(zip(names, meta))
+            x_ext = halo_exchange(x_loc, m["send_idx"])
+            vals = _overlap_edge_vals(m, w_loc, use_fwd_slot) if weighted else None
+
+            def one(cls, x_src):
+                a = m[cls + "a_tiles"][0]
+                if weighted:
+                    nb = a.shape[0]
+                    tiles = (
+                        jnp.zeros((nb * blk_h * blk_w,), jnp.float32)
+                        .at[m[cls + "edge_pos"][0]]
+                        .add(vals, mode="drop")
+                        .reshape(nb, blk_h, blk_w)
+                    )
+                else:
+                    tiles = a
+                return _spmm_dense_padded(
+                    x_src, tiles, m[cls + "col_ids"][0],
+                    m[cls + "block_window"][0],
+                    m[cls + "block_first_in_window"][0],
+                    cfg=cfg, num_windows=wd, interpret=interpret, d_tile=d_tile,
+                )
+
+            return one("l_", x_loc) + one("r_", x_ext)
+
+        def local_sddmm_overlap(xa_loc, xb_loc, *meta):
+            m = dict(zip(_OV_FIELDS, meta))
+            xb_ext = halo_exchange(xb_loc, m["send_idx"])
+
+            def one(cls, xb_src):
+                tiles = _sddmm_dense_padded(
+                    xa_loc, xb_src, m[cls + "col_ids"][0],
+                    m[cls + "block_window"][0],
+                    cfg=cfg, num_windows=wd, interpret=interpret,
+                    d_tile=d_tile,
+                )
+                return jnp.take(
+                    tiles.reshape(-1), m[cls + "edge_pos"][0],
+                    mode="fill", fill_value=0.0,
+                )
+
+            s = one("l_", xb_loc) + one("r_", xb_ext)
+            s = jnp.where(m["edge_valid"][0], s, 0.0)
+            if pf > 1:
+                s = jax.lax.psum(s, "feature")
+            return s
 
         # ---- fused tile-space AGNN (symmetric graphs; see TiledGraph) ------
         self._agnn_fwd_sm = self._agnn_bwd_sm = None
@@ -507,13 +566,39 @@ class DistributedTiledGraph:
             fields, spmm_fn, sddmm_fn = _META_FIELDS, local_spmm, local_sddmm
         field_specs = tuple(P("graph") for _ in fields)
 
-        use_overlap = self.dense_tiles and "overlap" in self._fwd
+        use_overlap = (
+            self.dense_tiles
+            and "overlap" in self._fwd
+            and "overlap" in self._bwd
+        )
+        self._use_overlap = use_overlap
         if use_overlap:
-            ov_specs = tuple(P("graph") for _ in range(9))
+            ov_specs = tuple(P("graph") for _ in _OV_FIELDS)
             _spmm_u = self._shardmap(
-                local_spmm_overlap,
+                functools.partial(
+                    local_spmm_overlap, weighted=False, use_fwd_slot=False
+                ),
                 in_specs=(node_spec, edge_spec) + ov_specs,
                 out_specs=node_spec,
+            )
+            _spmm_w = self._shardmap(
+                functools.partial(
+                    local_spmm_overlap, weighted=True, use_fwd_slot=False
+                ),
+                in_specs=(node_spec, edge_spec) + ov_specs,
+                out_specs=node_spec,
+            )
+            _spmm_w_t = self._shardmap(
+                functools.partial(
+                    local_spmm_overlap, weighted=True, use_fwd_slot=True
+                ),
+                in_specs=(node_spec, edge_spec) + ov_specs + (P("graph"),),
+                out_specs=node_spec,
+            )
+            _sddmm = self._shardmap(
+                local_sddmm_overlap,
+                in_specs=(node_spec, node_spec) + ov_specs,
+                out_specs=edge_spec,
             )
         else:
             _spmm_u = self._shardmap(
@@ -521,22 +606,21 @@ class DistributedTiledGraph:
                 in_specs=(node_spec, edge_spec) + field_specs,
                 out_specs=node_spec,
             )
-        self._use_overlap = use_overlap
-        _spmm_w = self._shardmap(
-            functools.partial(spmm_fn, weighted=True, use_fwd_slot=False),
-            in_specs=(node_spec, edge_spec) + field_specs,
-            out_specs=node_spec,
-        )
-        _spmm_w_t = self._shardmap(
-            functools.partial(spmm_fn, weighted=True, use_fwd_slot=True),
-            in_specs=(node_spec, edge_spec) + field_specs + (P("graph"),),
-            out_specs=node_spec,
-        )
-        _sddmm = self._shardmap(
-            sddmm_fn,
-            in_specs=(node_spec, node_spec) + field_specs,
-            out_specs=edge_spec,
-        )
+            _spmm_w = self._shardmap(
+                functools.partial(spmm_fn, weighted=True, use_fwd_slot=False),
+                in_specs=(node_spec, edge_spec) + field_specs,
+                out_specs=node_spec,
+            )
+            _spmm_w_t = self._shardmap(
+                functools.partial(spmm_fn, weighted=True, use_fwd_slot=True),
+                in_specs=(node_spec, edge_spec) + field_specs + (P("graph"),),
+                out_specs=node_spec,
+            )
+            _sddmm = self._shardmap(
+                sddmm_fn,
+                in_specs=(node_spec, node_spec) + field_specs,
+                out_specs=edge_spec,
+            )
 
         self._spmm_u, self._spmm_w, self._spmm_w_t, self._sddmm_raw = (
             _spmm_u, _spmm_w, _spmm_w_t, _sddmm,
@@ -549,8 +633,15 @@ class DistributedTiledGraph:
             tuple(self._fwd[k] for k in fields),
             tuple(self._bwd[k] for k in fields) + (self._bwd[slot_key],),
             zero_w,
-            (self._fwd["send_idx"],) + self._fwd["overlap"] if use_overlap else None,
-            (self._bwd["send_idx"],) + self._bwd["overlap"] if use_overlap else None,
+            (self._fwd["send_idx"], self._fwd["edge_valid"])
+            + self._fwd["overlap"]
+            if use_overlap
+            else None,
+            (self._bwd["send_idx"], self._bwd["edge_valid"])
+            + self._bwd["overlap"]
+            + (self._bwd[slot_key],)
+            if use_overlap
+            else None,
             tuple(self._fwd[k] for k in self._ag_fields)
             if self._agnn_fwd_sm is not None
             else None,
@@ -572,11 +663,17 @@ class DistributedTiledGraph:
     ):
         bwd_meta = bwd_meta_slot[:-1]
         if self._use_overlap:
-            spmm_u_fwd_args = ov_fwd
-            spmm_u_bwd_args = ov_bwd
+            # Every dense op rides the local/remote split: unweighted,
+            # weighted (both directions), and SDDMM overlap local-class
+            # compute with the boundary exchange.  ``ov_bwd`` carries the
+            # transpose partition's edge_fwd_slot as its last element.
+            u_fwd_args = w_fwd_args = sddmm_args = ov_fwd
+            u_bwd_args = ov_bwd[:-1]
+            w_bwd_args = ov_bwd
         else:
-            spmm_u_fwd_args = fwd_meta
-            spmm_u_bwd_args = bwd_meta
+            u_fwd_args = w_fwd_args = sddmm_args = fwd_meta
+            u_bwd_args = bwd_meta
+            w_bwd_args = bwd_meta_slot
         _spmm_u, _spmm_w, _spmm_w_t, _sddmm = (
             self._spmm_u, self._spmm_w, self._spmm_w_t, self._sddmm_raw,
         )
@@ -596,27 +693,27 @@ class DistributedTiledGraph:
         # ---- public custom_vjp ops (mirror TiledGraph._make_ops) ----------
         @jax.custom_vjp
         def spmm(x):
-            return _spmm_u(pad_d(x), zero_w, *spmm_u_fwd_args)[:, : x.shape[1]]
+            return _spmm_u(pad_d(x), zero_w, *u_fwd_args)[:, : x.shape[1]]
 
         def spmm_fwd(x):
             return spmm(x), None
 
         def spmm_bwd(_, dy):
-            return (_spmm_u(pad_d(dy), zero_w, *spmm_u_bwd_args)[:, : dy.shape[1]],)
+            return (_spmm_u(pad_d(dy), zero_w, *u_bwd_args)[:, : dy.shape[1]],)
 
         spmm.defvjp(spmm_fwd, spmm_bwd)
 
         @jax.custom_vjp
         def spmm_weighted(x, w):
-            return _spmm_w(pad_d(x), w, *fwd_meta)[:, : x.shape[1]]
+            return _spmm_w(pad_d(x), w, *w_fwd_args)[:, : x.shape[1]]
 
         def spmm_weighted_fwd(x, w):
             return spmm_weighted(x, w), (x, w)
 
         def spmm_weighted_bwd(res, dy):
             x, w = res
-            dx = _spmm_w_t(pad_d(dy), w, *bwd_meta_slot)[:, : x.shape[1]]
-            dw = _sddmm(pad_d(dy), pad_d(x), *fwd_meta)
+            dx = _spmm_w_t(pad_d(dy), w, *w_bwd_args)[:, : x.shape[1]]
+            dw = _sddmm(pad_d(dy), pad_d(x), *sddmm_args)
             return dx, dw
 
         spmm_weighted.defvjp(spmm_weighted_fwd, spmm_weighted_bwd)
@@ -624,15 +721,15 @@ class DistributedTiledGraph:
         @jax.custom_vjp
         def sddmm(x):
             xp = pad_d(x)
-            return _sddmm(xp, xp, *fwd_meta)
+            return _sddmm(xp, xp, *sddmm_args)
 
         def sddmm_fwd(x):
             return sddmm(x), x
 
         def sddmm_bwd(x, de):
             xp = pad_d(x)
-            d_rows = _spmm_w(xp, de, *fwd_meta)[:, : x.shape[1]]
-            d_cols = _spmm_w_t(xp, de, *bwd_meta_slot)[:, : x.shape[1]]
+            d_rows = _spmm_w(xp, de, *w_fwd_args)[:, : x.shape[1]]
+            d_cols = _spmm_w_t(xp, de, *w_bwd_args)[:, : x.shape[1]]
             return (d_rows + d_cols,)
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)

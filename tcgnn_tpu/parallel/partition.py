@@ -426,7 +426,7 @@ def partition_csr(
         metas, edge_start, num_nodes, num_edges, rows_per_shard, config, edge_capacity
     )
     stacked.overlap = _stack_overlap(
-        metas, local_cols_list, rows_per_shard, config
+        metas, local_cols_list, rows_per_shard, config, stacked.edge_capacity
     )
     stacked.halo = build_halo(
         local_cols_list,
@@ -438,8 +438,15 @@ def partition_csr(
     return stacked
 
 
-def _stack_overlap(metas, local_cols_list, rows_per_shard, config):
-    """Stack per-shard local/remote block classes (see split_local_remote)."""
+def _stack_overlap(metas, local_cols_list, rows_per_shard, config, edge_capacity):
+    """Stack per-shard local/remote block classes (see split_local_remote).
+
+    Each class also carries ``edge_pos`` [G, edge_capacity]: the edge's flat
+    slot in the CLASS's tile space, with edges of the other class (and
+    capacity padding) pointing one-past-the-end — an out-of-bounds sentinel
+    that scatter ``mode="drop"`` ignores and gather ``mode="fill"`` zeroes,
+    so the weighted/SDDMM overlap ops need no extra masks.
+    """
     classes = {"local": [], "remote": []}
     for s, m in enumerate(metas):
         lo, hi = s * rows_per_shard, (s + 1) * rows_per_shard
@@ -448,12 +455,19 @@ def _stack_overlap(metas, local_cols_list, rows_per_shard, config):
         classes["remote"].append(rem)
 
     group = max(int(config.block_group), 1)
+    tile = config.blk_h * config.blk_w
     # Cross-shard padding blocks target the LAST window (same output-map
     # monotonicity requirement as _stack_shards).
     last_window = rows_per_shard // config.blk_h - 1
     out = {}
     for cls, parts in classes.items():
         b_max = -(-max(p["num_blocks"] for p in parts) // group) * group
+        sentinel = b_max * tile
+        assert sentinel + 1 < 2**31, (cls, b_max)
+        epos = np.full((len(parts), edge_capacity), sentinel, dtype=np.int32)
+        for s, p in enumerate(parts):
+            e = p["edge_pos"]
+            epos[s, : len(e)] = np.where(e < 0, sentinel, e).astype(np.int32)
         out[cls] = {
             "a_tiles": np.stack(
                 [_pad_axis0(p["a_tiles"], b_max, 0) for p in parts]
@@ -467,6 +481,7 @@ def _stack_overlap(metas, local_cols_list, rows_per_shard, config):
             "block_first_in_window": np.stack(
                 [_pad_axis0(p["block_first_in_window"], b_max, 0) for p in parts]
             ),
+            "edge_pos": epos,
         }
     return out
 
