@@ -135,6 +135,7 @@ class DistributedTiledGraph:
         interpret: Optional[bool] = None,
         d_tile: int = 128,
         dense_tiles: Optional[bool] = None,
+        block_diag: Optional[bool] = None,
     ):
         if mesh is None:
             from tcgnn_tpu.parallel.mesh import make_mesh
@@ -182,8 +183,63 @@ class DistributedTiledGraph:
                 * config.blk_h * config.blk_w < 2**31
             )
         self.dense_tiles = dense_tiles
-        self._fwd = _meta_to_device(fwd, mesh, with_fwd_slot=False)
-        self._bwd = _meta_to_device(bwd, mesh, with_fwd_slot=True)
+
+        # Block-diagonal fast path (parallel/blockdiag.py): fully-covered
+        # banded/component graphs shard by contiguous bin ranges and serve
+        # every op from packed diagonal tiles with a nearest-neighbor
+        # ppermute rim halo — no condensed tiles, no index-driven exchange.
+        rows_per_shard = fwd.padded_nodes // self.pg
+        self.block_diag = False
+        self._bd_host = None
+        if dense_tiles and block_diag is not False:
+            from tcgnn_tpu.sgt.blockdiag import extract_block_diag
+            from tcgnn_tpu.parallel.blockdiag import build_bd_shard_meta
+
+            bdm = extract_block_diag(row_pointers, column_index, self.num_nodes)
+            bdm_t = (
+                bdm
+                if (self.symmetric or bdm is None)
+                else extract_block_diag(t_ptr, t_idx, self.num_nodes)
+            )
+
+            def _ok(m):
+                if m is None or m.coverage < 1.0:
+                    return False
+                if rows_per_shard % m.bin_rows:
+                    return False
+                b_loc = rows_per_shard // m.bin_rows
+                # Rim halo reaches one neighbor shard; pack slots fit int32.
+                return (
+                    max(abs(k) for k in m.offsets) <= b_loc
+                    and len(m.offsets) * b_loc * m.bin_rows**2 + 1 < 2**31
+                )
+
+            if _ok(bdm) and _ok(bdm_t):
+                self.block_diag = True
+                self._bd_host = (
+                    build_bd_shard_meta(
+                        bdm, fwd.edge_start, rows_per_shard,
+                        self.pg, fwd.edge_capacity,
+                    ),
+                    build_bd_shard_meta(
+                        bdm_t, bwd.edge_start, rows_per_shard,
+                        self.pg, bwd.edge_capacity,
+                    ),
+                )
+        if block_diag and not self.block_diag:
+            raise ValueError(
+                "block_diag requested but the graph is not fully covered "
+                "by shard-compatible diagonals"
+            )
+
+        if self.block_diag:
+            # The packed diagonals serve every op; the condensed window
+            # tiling stays host-side (stats + edge layout) and its device
+            # arrays — the big HBM cost — are never built.
+            self._fwd = self._bwd = None
+        else:
+            self._fwd = _meta_to_device(fwd, mesh, with_fwd_slot=False)
+            self._bwd = _meta_to_device(bwd, mesh, with_fwd_slot=True)
 
         self._node_sh = NamedSharding(mesh, P("graph", "feature"))
         self._edge_sh = NamedSharding(mesh, P("graph"))
@@ -244,6 +300,8 @@ class DistributedTiledGraph:
         )
 
     def _build_ops(self):
+        if self.block_diag:
+            return self._build_ops_bd()
         cfg = self.config
         wd = self.host_fwd.windows_per_shard
         interpret = self.interpret
@@ -649,6 +707,231 @@ class DistributedTiledGraph:
         ops = self._make_ops(*self._device_arrays)
         self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
 
+    def _build_ops_bd(self):
+        """Sharded packed-diagonal ops: bin-aligned shards, ppermute rim halo.
+
+        See ``parallel/blockdiag.py`` for the design.  Each op is ONE
+        batched MXU contraction per shard against a rim-extended feature
+        stack; the rim is two nearest-neighbor ``ppermute`` shifts of
+        ``max|k|*128`` rows (mesh-edge shards receive ppermute's zero fill
+        — exactly the single-device kernel's zero padding).
+        """
+        from tcgnn_tpu.ops.spmm import _mxu_precision
+
+        cfg = self.config
+        ct = cfg.compute_dtype
+        pg, pf = self.pg, self.pf
+        node_spec = P("graph", "feature")
+        edge_spec = P("graph")
+        sh_g = NamedSharding(self.mesh, P("graph"))
+        mf, mt = self._bd_host
+
+        def put(a):
+            return jax.device_put(jnp.asarray(a), sh_g)
+
+        idx_f, cnt_f, cov_f = put(mf.pack_idx), put(mf.pack_cnt), put(mf.cov_slot)
+        idx_t, cnt_t, cov_t = put(mt.pack_idx), put(mt.pack_cnt), put(mt.cov_slot)
+        efs = put(self.host_bwd.edge_fwd_slot)
+
+        def mk_pack_builder(m):
+            k, b_loc, bn = len(m.offsets), m.bins_per_shard, m.bin_rows
+
+            def build(idx, cnt):
+                flat = jnp.zeros((k * b_loc * bn * bn,), cnt.dtype)
+                flat = flat.at[idx[0]].add(cnt[0], mode="drop")
+                return (
+                    flat.reshape(k, b_loc, bn, bn)
+                    .transpose(1, 2, 0, 3)
+                    .reshape(b_loc, bn, k * bn)
+                )
+
+            return jax.jit(self._shardmap(
+                build, in_specs=(P("graph"), P("graph")), out_specs=P("graph")
+            ))
+
+        pack_f = mk_pack_builder(mf)(idx_f, cnt_f)
+        pack_t = pack_f if self.symmetric else mk_pack_builder(mt)(idx_t, cnt_t)
+
+        def rim_stack(x_loc, offs, b_loc, bn):
+            """[b_loc, K*bn, d] halo stack from the local slab + rim shifts."""
+            d = x_loc.shape[1]
+            kmin, kmax = min(offs), max(offs)
+            xb = x_loc.astype(ct)
+            parts = []
+            if kmin < 0:
+                src = xb[-(-kmin * bn):]
+                parts.append(
+                    jax.lax.ppermute(
+                        src, "graph", [(i, i + 1) for i in range(pg - 1)]
+                    )
+                    if pg > 1
+                    else jnp.zeros_like(src)
+                )
+            parts.append(xb)
+            if kmax > 0:
+                src = xb[: kmax * bn]
+                parts.append(
+                    jax.lax.ppermute(
+                        src, "graph", [(i, i - 1) for i in range(1, pg)]
+                    )
+                    if pg > 1
+                    else jnp.zeros_like(src)
+                )
+            xe = jnp.concatenate(parts, 0).reshape(
+                b_loc + (kmax - kmin), bn, d
+            )
+            return jnp.stack(
+                [xe[k - kmin : k - kmin + b_loc] for k in offs], axis=1
+            ).reshape(b_loc, len(offs) * bn, d)
+
+        def _contract(pack_loc, xs, b_loc, bn, d):
+            out = jnp.einsum(
+                "bik,bkd->bid",
+                pack_loc.astype(ct),
+                xs,
+                preferred_element_type=jnp.float32,
+                precision=_mxu_precision(ct),
+            )
+            return out.reshape(b_loc * bn, d)
+
+        def mk_spmm(m):
+            offs, bn, b_loc = m.offsets, m.bin_rows, m.bins_per_shard
+
+            def local_fn(x_loc, pack_loc):
+                xs = rim_stack(x_loc, offs, b_loc, bn)
+                return _contract(pack_loc, xs, b_loc, bn, x_loc.shape[1])
+
+            return self._shardmap(
+                local_fn, in_specs=(node_spec, P("graph")), out_specs=node_spec
+            )
+
+        def mk_spmm_w(m, use_fwd_slot):
+            offs, bn, b_loc = m.offsets, m.bin_rows, m.bins_per_shard
+            size = b_loc * bn * len(offs) * bn
+
+            def local_fn(x_loc, w_loc, cov_loc, *efs_loc):
+                if use_fwd_slot:
+                    w_all = jax.lax.all_gather(
+                        w_loc, "graph", axis=0, tiled=True
+                    )
+                    w_ext = jnp.concatenate(
+                        [w_all, jnp.zeros((1,), w_all.dtype)]
+                    )
+                    vals = w_ext[efs_loc[0][0]]
+                else:
+                    vals = w_loc
+                pack = (
+                    jnp.zeros((size,), ct)
+                    .at[cov_loc[0]]
+                    .add(vals.astype(ct), mode="drop")
+                    .reshape(b_loc, bn, len(offs) * bn)
+                )
+                xs = rim_stack(x_loc, offs, b_loc, bn)
+                return _contract(pack, xs, b_loc, bn, x_loc.shape[1])
+
+            extra = (P("graph"),) if use_fwd_slot else ()
+            return self._shardmap(
+                local_fn,
+                in_specs=(node_spec, edge_spec, P("graph")) + extra,
+                out_specs=node_spec,
+            )
+
+        def mk_sddmm(m):
+            offs, bn, b_loc = m.offsets, m.bin_rows, m.bins_per_shard
+
+            def local_fn(xa_loc, xb_loc, cov_loc):
+                xs = rim_stack(xb_loc, offs, b_loc, bn)
+                xab = xa_loc.astype(ct).reshape(b_loc, bn, xa_loc.shape[1])
+                s = jnp.einsum(
+                    "bid,bkd->bik",
+                    xab,
+                    xs,
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu_precision(ct),
+                )
+                e = jnp.take(
+                    s.reshape(-1), cov_loc[0], mode="fill", fill_value=0.0
+                )
+                if pf > 1:
+                    e = jax.lax.psum(e, "feature")
+                return e
+
+            return self._shardmap(
+                local_fn,
+                in_specs=(node_spec, node_spec, P("graph")),
+                out_specs=edge_spec,
+            )
+
+        self._bd_spmm_f = mk_spmm(mf)
+        self._bd_spmm_t = mk_spmm(mt)
+        self._bd_spmm_w_f = mk_spmm_w(mf, use_fwd_slot=False)
+        self._bd_spmm_w_t = mk_spmm_w(mt, use_fwd_slot=True)
+        self._bd_sddmm = mk_sddmm(mf)
+
+        self._device_arrays = (pack_f, pack_t, cov_f, cov_t, efs)
+        ops = self._make_ops_bd(*self._device_arrays)
+        self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
+
+    def _make_ops_bd(self, pack_f, pack_t, cov_f, cov_t, efs):
+        d_quantum = 8 * self.pf
+
+        def pad_d(x):
+            d = x.shape[1]
+            d_pad = _round_up(max(d, 1), d_quantum)
+            if d_pad != d:
+                x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+            return x
+
+        _sp_f, _sp_t = self._bd_spmm_f, self._bd_spmm_t
+        _sw_f, _sw_t, _sd = self._bd_spmm_w_f, self._bd_spmm_w_t, self._bd_sddmm
+
+        @jax.custom_vjp
+        def spmm(x):
+            return _sp_f(pad_d(x), pack_f)[:, : x.shape[1]]
+
+        def spmm_fwd(x):
+            return spmm(x), None
+
+        def spmm_bwd(_, dy):
+            return (_sp_t(pad_d(dy), pack_t)[:, : dy.shape[1]],)
+
+        spmm.defvjp(spmm_fwd, spmm_bwd)
+
+        @jax.custom_vjp
+        def spmm_weighted(x, w):
+            return _sw_f(pad_d(x), w, cov_f)[:, : x.shape[1]]
+
+        def spmm_weighted_fwd(x, w):
+            return spmm_weighted(x, w), (x, w)
+
+        def spmm_weighted_bwd(res, dy):
+            x, w = res
+            dx = _sw_t(pad_d(dy), w, cov_t, efs)[:, : x.shape[1]]
+            dw = _sd(pad_d(dy), pad_d(x), cov_f)
+            return dx, dw
+
+        spmm_weighted.defvjp(spmm_weighted_fwd, spmm_weighted_bwd)
+
+        @jax.custom_vjp
+        def sddmm(x):
+            xp = pad_d(x)
+            return _sd(xp, xp, cov_f)
+
+        def sddmm_fwd(x):
+            return sddmm(x), x
+
+        def sddmm_bwd(x, de):
+            xp = pad_d(x)
+            d_rows = _sw_f(xp, de, cov_f)[:, : x.shape[1]]
+            d_cols = _sw_t(xp, de, cov_t, efs)[:, : x.shape[1]]
+            return (d_rows + d_cols,)
+
+        sddmm.defvjp(sddmm_fwd, sddmm_bwd)
+
+        # AGNN rides the per-edge sddmm + weighted-spmm path (both packed);
+        # no fused tile-space variant in BD mode.
+        return spmm, spmm_weighted, sddmm, None
+
     # --- jit-boundary plumbing ---------------------------------------------
     def arrays(self):
         """Device-array pytree to pass INTO a jitted step (then ``bind``) —
@@ -656,7 +939,8 @@ class DistributedTiledGraph:
         return self._device_arrays
 
     def bind(self, device_arrays) -> "BoundDistributedGraph":
-        return BoundDistributedGraph(self, self._make_ops(*device_arrays))
+        mk = self._make_ops_bd if self.block_diag else self._make_ops
+        return BoundDistributedGraph(self, mk(*device_arrays))
 
     def _make_ops(
         self, fwd_meta, bwd_meta_slot, zero_w, ov_fwd=None, ov_bwd=None, ag_meta=None
