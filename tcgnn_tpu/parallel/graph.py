@@ -868,6 +868,103 @@ class DistributedTiledGraph:
         self._bd_spmm_w_t = mk_spmm_w(mt, use_fwd_slot=True)
         self._bd_sddmm = mk_sddmm(mf)
 
+        # ---- fused tile-space AGNN (symmetric graphs; BD-mode analogue of
+        # local_agnn_* in _build_ops): scores, weighted pack, and the
+        # aggregate all stay in the shard's packed layout — no per-edge
+        # scatter/gather round trip.  The backward's column-space term
+        # spills rim bins to the neighbors via two reverse ppermute adds.
+        self._bd_agnn_fwd = self._bd_agnn_bwd = None
+        if self.symmetric:
+            offs, bn, b_loc = mf.offsets, mf.bin_rows, mf.bins_per_shard
+            kmin, kmax = min(offs), max(offs)
+
+            def s_tiles(xa_loc, xs):
+                xab = xa_loc.astype(ct).reshape(b_loc, bn, xa_loc.shape[1])
+                s = jnp.einsum(
+                    "bid,bkd->bik",
+                    xab,
+                    xs,
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu_precision(ct),
+                )
+                if pf > 1:  # scores contract over the full feature dim
+                    s = jax.lax.psum(s, "feature")
+                return s.astype(ct)
+
+            def agnn_fwd_loc(x_loc, pack_loc):
+                xs = rim_stack(x_loc, offs, b_loc, bn)
+                wt = pack_loc.astype(ct) * s_tiles(x_loc, xs)
+                return _contract(wt, xs, b_loc, bn, x_loc.shape[1])
+
+            def transpose_core_loc(t, x_loc):
+                """``out[b+k] += t_k[b]^T x_bins[b]`` with rim spill-back."""
+                d = x_loc.shape[1]
+                xab = x_loc.astype(ct).reshape(b_loc, bn, d)
+                z = jnp.einsum(
+                    "bik,bid->bkd",
+                    t,
+                    xab,
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu_precision(ct),
+                )
+                out = jnp.zeros((b_loc + kmax - kmin, bn, d), jnp.float32)
+                for i, k in enumerate(offs):
+                    out = out.at[k - kmin : k - kmin + b_loc].add(
+                        z[:, i * bn : (i + 1) * bn, :]
+                    )
+                res = out[-kmin : -kmin + b_loc]
+                if kmin < 0:
+                    spill = out[:-kmin].reshape(-kmin * bn, d)
+                    recv = (
+                        jax.lax.ppermute(
+                            spill, "graph", [(i, i - 1) for i in range(1, pg)]
+                        )
+                        if pg > 1
+                        else jnp.zeros_like(spill)
+                    )
+                    res = res.at[b_loc + kmin :].add(
+                        recv.reshape(-kmin, bn, d)
+                    )
+                if kmax > 0:
+                    spill = out[b_loc - kmin :].reshape(kmax * bn, d)
+                    recv = (
+                        jax.lax.ppermute(
+                            spill, "graph", [(i, i + 1) for i in range(pg - 1)]
+                        )
+                        if pg > 1
+                        else jnp.zeros_like(spill)
+                    )
+                    res = res.at[:kmax].add(recv.reshape(kmax, bn, d))
+                return res.reshape(b_loc * bn, d)
+
+            def agnn_bwd_loc(x_loc, dy_loc, pack_loc):
+                d = x_loc.shape[1]
+                c = pack_loc.astype(ct)
+                xs = rim_stack(x_loc, offs, b_loc, bn)
+                dys = rim_stack(dy_loc, offs, b_loc, bn)
+                cs = c * s_tiles(x_loc, xs)     # C ⊙ S,  S_ij = <x_i, x_j>
+                t = c * s_tiles(dy_loc, xs)     # C ⊙ T,  T_ij = <dy_i, x_j>
+                t1 = _contract(cs, dys, b_loc, bn, d)
+                t2a = _contract(t, xs, b_loc, bn, d)
+                t2b = transpose_core_loc(t, x_loc)
+                u = _contract(cs, xs, b_loc, bn, d)
+                dc = jnp.vdot(dy_loc.astype(jnp.float32), u)
+                dc = jax.lax.psum(dc, "graph")
+                if pf > 1:
+                    dc = jax.lax.psum(dc, "feature")
+                return t1 + t2a + t2b, dc
+
+            self._bd_agnn_fwd = self._shardmap(
+                agnn_fwd_loc,
+                in_specs=(node_spec, P("graph")),
+                out_specs=node_spec,
+            )
+            self._bd_agnn_bwd = self._shardmap(
+                agnn_bwd_loc,
+                in_specs=(node_spec, node_spec, P("graph")),
+                out_specs=(node_spec, P()),
+            )
+
         self._device_arrays = (pack_f, pack_t, cov_f, cov_t, efs)
         ops = self._make_ops_bd(*self._device_arrays)
         self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
@@ -928,9 +1025,30 @@ class DistributedTiledGraph:
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)
 
-        # AGNN rides the per-edge sddmm + weighted-spmm path (both packed);
-        # no fused tile-space variant in BD mode.
-        return spmm, spmm_weighted, sddmm, None
+        # ---- fused AGNN aggregation (symmetric; see _build_ops_bd) ---------
+        agnn_aggregate = None
+        if self._bd_agnn_fwd is not None:
+            _agf, _agb = self._bd_agnn_fwd, self._bd_agnn_bwd
+
+            @jax.custom_vjp
+            def agnn_aggregate(x, att_w):
+                cbar = jnp.mean(att_w)
+                return cbar * _agf(pad_d(x), pack_f)[:, : x.shape[1]]
+
+            def ag_fwd(x, att_w):
+                return agnn_aggregate(x, att_w), (x, att_w)
+
+            def ag_bwd(res, dy):
+                x, att_w = res
+                cbar = jnp.mean(att_w)
+                dxl, dc = _agb(pad_d(x), pad_d(dy), pack_f)
+                dx = cbar * dxl[:, : x.shape[1]]
+                datt = jnp.full(att_w.shape, dc / att_w.size, att_w.dtype)
+                return dx, datt
+
+            agnn_aggregate.defvjp(ag_fwd, ag_bwd)
+
+        return spmm, spmm_weighted, sddmm, agnn_aggregate
 
     # --- jit-boundary plumbing ---------------------------------------------
     def arrays(self):

@@ -129,6 +129,37 @@ def test_bd_dist_condensed_arrays_skipped(setup):
     assert dg._fwd is None and dg._bwd is None
 
 
+def test_bd_dist_fused_agnn_matches_single(setup):
+    """Fused packed-diagonal AGNN aggregation on the mesh == single-device
+    BD fused path (value, dx, and d_att through the custom VJP)."""
+    dg, sg, x, _ = setup
+    assert dg.agnn_aggregate is not None and sg.agnn_aggregate is not None
+    n, d = x.shape
+    att_w = jnp.asarray(np.random.default_rng(3).random((1, 1)).astype(np.float32))
+    xs = dg.shard_features(x)
+
+    y_d = jax.jit(dg.agnn_aggregate)(xs, att_w)
+    y_s = sg.agnn_aggregate(x, att_w)
+    np.testing.assert_allclose(
+        np.asarray(y_d)[:n, :d], np.asarray(y_s), rtol=2e-4, atol=2e-4
+    )
+
+    def dloss(xx, aw):
+        return jnp.sum(jnp.sin(dg.agnn_aggregate(xx, aw)[:n, :d]))
+
+    def sloss(xx, aw):
+        return jnp.sum(jnp.sin(sg.agnn_aggregate(xx, aw)))
+
+    dgx, dga = jax.grad(dloss, argnums=(0, 1))(xs, att_w)
+    sgx, sga = jax.grad(sloss, argnums=(0, 1))(x, att_w)
+    np.testing.assert_allclose(
+        np.asarray(dgx)[:n, :d], np.asarray(sgx), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dga), np.asarray(sga), rtol=2e-3, atol=2e-3
+    )
+
+
 def test_bd_dist_agnn_trains(mesh42):
     """AGNN end-to-end on the BD distributed path (per-edge sddmm +
     weighted spmm, custom VJPs): loss must decrease."""
