@@ -129,6 +129,38 @@ def test_bd_dist_condensed_arrays_skipped(setup):
     assert dg._fwd is None and dg._bwd is None
 
 
+def test_bd_dist_gate_misaligned_bins_falls_back(mesh42):
+    """rows_per_shard not a multiple of the 128-row bins -> condensed path
+    (still correct)."""
+    n = 2048
+    ptr, cols = union_csr(n=n, e=5200, num_graphs=64, seed=5)
+    cfg = TileConfig(blk_h=48, blk_w=48, edge_chunk=48)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, cfg)
+    assert not dg.block_diag and dg._fwd is not None
+    sg = TiledGraph(ptr, cols, n, cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, 16)).astype(np.float32)
+    )
+    out = jax.jit(dg.spmm)(dg.shard_features(x))
+    np.testing.assert_allclose(
+        np.asarray(out)[:n, :16], np.asarray(sg.spmm(x)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_bd_dist_gate_powerlaw_falls_back(mesh42):
+    """Power-law graphs stay on the condensed distributed design."""
+    from tcgnn_tpu.data.synthetic import powerlaw_graph
+
+    n = 1024
+    src, dst = powerlaw_graph(n, 6000, seed=2)
+    from tcgnn_tpu.data.dataset import coo_to_csr
+
+    ptr, cols = coo_to_csr(src, dst, n)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
+    assert not dg.block_diag
+
+
 def test_bd_dist_fused_agnn_matches_single(setup):
     """Fused packed-diagonal AGNN aggregation on the mesh == single-device
     BD fused path (value, dx, and d_att through the custom VJP)."""
