@@ -198,14 +198,11 @@ class TiledGraph:
         if self.streamed:
             smeta_f = segment_chunks(self.host_meta)
             smeta_t = smeta_f if symmetric else segment_chunks(self.host_meta_t)
-            self.meta = self.meta_t = None
-        else:
-            self.meta = host_meta.as_jax(lite=dense_tiles)
-            self.meta_t = (
-                self.meta
-                if symmetric
-                else self.host_meta_t.as_jax(lite=dense_tiles)
-            )
+        # Condensed device metadata (O(E + B*blk_w) uploads) is deferred
+        # until after the block-diagonal probe: a fully-covered addressable
+        # BD graph never reads it (same reasoning as the structural tiles
+        # below), and the streamed path replaces it entirely.
+        self.meta = self.meta_t = None
 
         self.row_pointers = jnp.asarray(row_pointers.astype(np.int32))
         self.column_index = jnp.asarray(column_index.astype(np.int32))
@@ -263,6 +260,7 @@ class TiledGraph:
         self.block_diag = False
         self._bd_offsets = self._bd_offsets_t = None
         self._bd_full_coverage = False
+        self._bd_addressable = False
         bd_pack_f = bd_pack_t = None
         if dense_tiles and block_diag is not False:
             if self._bdm_probe is not None:
@@ -325,14 +323,20 @@ class TiledGraph:
                     )
                     # Per-edge scatter/gather addresses for the weighted /
                     # SDDMM BD ops (packed-layout flat indices + CSR edge
-                    # positions); int32 when the pack's flat space allows.
-                    cov_pack = m.packed_cov_idx()
+                    # positions).  x64 is disabled, so an index array past
+                    # int32 would silently truncate (wraparound scatter
+                    # corruption) — such packs mark the per-edge BD ops
+                    # unavailable and weighted/SDDMM fall back to the
+                    # condensed path instead.
                     pack_elems = (
                         pack.shape[0] * pack.shape[1] * pack.shape[2]
                     )
-                    if pack_elems < 2**31:
-                        cov_pack = cov_pack.astype(np.int32)
-                    cov_pack = jnp.asarray(cov_pack)
+                    if pack_elems + 1 < 2**31:
+                        cov_pack = jnp.asarray(
+                            m.packed_cov_idx().astype(np.int32)
+                        )
+                    else:
+                        cov_pack = None
                     cov_ids = jnp.asarray(m.cov_edge_ids.astype(np.int32))
                     res_ids = (
                         None
@@ -343,12 +347,25 @@ class TiledGraph:
 
                 bd_pack_f = bd_dev(bdm)
                 bd_pack_t = bd_pack_f if symmetric else bd_dev(bdm_t)
+                self._bd_addressable = (
+                    bd_pack_f[3] is not None and bd_pack_t[3] is not None
+                )
             elif block_diag:
                 raise ValueError(
                     "block_diag requested but coverage is below the gate "
                     "for this graph/ordering"
                 )
-        if dense_tiles and not (self.block_diag and self._bd_full_coverage):
+        needs_condensed = not self.streamed and not (
+            self.block_diag and self._bd_full_coverage and self._bd_addressable
+        )
+        if needs_condensed:
+            self.meta = host_meta.as_jax(lite=dense_tiles)
+            self.meta_t = (
+                self.meta
+                if symmetric
+                else self.host_meta_t.as_jax(lite=dense_tiles)
+            )
+        if dense_tiles and needs_condensed:
             a_struct = to_dev(self.meta, self.host_meta)
             a_struct_t = (
                 a_struct
@@ -456,8 +473,13 @@ class TiledGraph:
             # scatter into a transient [Bp, bn, K*bn] pack (compute dtype)
             # and scores come off one batched x_bins @ stack^T matmul — no
             # condensed-space weighted-tile materialization (OVCAR-class:
-            # 2.4 GB per layer) and no condensed gather.
+            # 2.4 GB per layer) and no condensed gather.  Packs whose flat
+            # space exceeds int32 (cov_pack is None — x64 is off, indices
+            # would truncate) keep the condensed weighted/SDDMM ops below.
             n_edges = self.num_edges
+            bd_per_edge_ok = (
+                bd_pack_f[3] is not None and bd_pack_t[3] is not None
+            )
 
             def _bd_weighted(x, w_dir, pack, offsets):
                 tiles, res_meta, _, cov_pack, cov_ids, res_ids = pack
@@ -476,28 +498,48 @@ class TiledGraph:
                     )
                 return out
 
-            def spmm_w_f(x, w):
-                return _bd_weighted(x, w, bd_pack_f, self._bd_offsets)
+            if bd_per_edge_ok:
 
-            def spmm_w_b(dy, w):
-                return _bd_weighted(dy, to_t(w), bd_pack_t, self._bd_offsets_t)
+                def spmm_w_f(x, w):
+                    return _bd_weighted(x, w, bd_pack_f, self._bd_offsets)
 
-            def sddmm_f(xa, xb):
-                tiles, res_meta, _, cov_pack, cov_ids, res_ids = bd_pack_f
-                bp, bn = tiles.shape[0], tiles.shape[1]
-                s = bd_score_tiles(
-                    xa, xb, bp=bp, bn=bn, offsets=self._bd_offsets,
-                    cfg=cfg, interpret=interpret,
-                )
-                e = jnp.zeros((n_edges,), jnp.float32)
-                e = e.at[cov_ids].set(
-                    s.reshape(-1)[cov_pack].astype(jnp.float32)
-                )
-                if res_meta is not None:
-                    e = e.at[res_ids].set(
-                        sddmm_tc_dense(xa, res_meta, xb, interpret=interpret)
+                def spmm_w_b(dy, w):
+                    return _bd_weighted(
+                        dy, to_t(w), bd_pack_t, self._bd_offsets_t
                     )
-                return e
+
+                def sddmm_f(xa, xb):
+                    tiles, res_meta, _, cov_pack, cov_ids, res_ids = bd_pack_f
+                    bp, bn = tiles.shape[0], tiles.shape[1]
+                    s = bd_score_tiles(
+                        xa, xb, bp=bp, bn=bn, offsets=self._bd_offsets,
+                        cfg=cfg, interpret=interpret,
+                    )
+                    e = jnp.zeros((n_edges,), jnp.float32)
+                    e = e.at[cov_ids].set(s.reshape(-1)[cov_pack])
+                    if res_meta is not None:
+                        e = e.at[res_ids].set(
+                            sddmm_tc_dense(
+                                xa, res_meta, xb, interpret=interpret
+                            )
+                        )
+                    return e
+
+            else:
+
+                def spmm_w_f(x, w):
+                    return spmm_tc_dense(
+                        x, meta, build_a_tiles(meta, w), interpret=interpret
+                    )
+
+                def spmm_w_b(dy, w):
+                    return spmm_tc_dense(
+                        dy, meta_t, build_a_tiles(meta_t, to_t(w)),
+                        interpret=interpret,
+                    )
+
+                def sddmm_f(xa, xb):
+                    return sddmm_tc_dense(xa, meta, xb, interpret=interpret)
 
         elif self.dense_tiles:
 
@@ -616,9 +658,11 @@ class TiledGraph:
             ct = cfg.compute_dtype
 
             def _bd_s(xa, xb):
+                # Fused in-tile-space product C * S runs at the compute
+                # dtype; the per-edge SDDMM path keeps the f32 default.
                 return bd_score_tiles(
                     xa, xb, bp=bp, bn=bn, offsets=offs,
-                    cfg=cfg, interpret=interpret,
+                    cfg=cfg, interpret=interpret, out_dtype=ct,
                 )
 
             def _bd_core(x, wt):

@@ -435,7 +435,10 @@ def _bd_stack(x, nbins, bn, offsets, ct):
     contiguous copies — a slab gather via jnp.take measures ~4x slower).
     """
     n, d = x.shape
-    kmin, kmax = min(offsets), max(offsets)
+    # Normalize the halo range to include 0 so pads/slices stay in-bounds
+    # even when every selected offset is one-signed (a strictly upper- or
+    # lower-triangular banded graph has no diagonal-0 stream).
+    kmin, kmax = min(0, min(offsets)), max(0, max(offsets))
     xb = x.astype(ct)
     xb = jnp.pad(
         xb, ((-kmin * bn, (nbins * bn - n) + kmax * bn), (0, 0))
@@ -454,18 +457,20 @@ def _bd_bins(x, nbins, bn, ct):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bp", "bn", "offsets", "cfg", "interpret")
+    jax.jit,
+    static_argnames=("bp", "bn", "offsets", "cfg", "interpret", "out_dtype"),
 )
-def bd_score_tiles(xa, xb, *, bp, bn, offsets, cfg, interpret):
+def bd_score_tiles(xa, xb, *, bp, bn, offsets, cfg, interpret, out_dtype=None):
     """Packed per-tile dot-product scores (the BD-space SDDMM front half).
 
     ``S[b, i, k*bn + j] = <xa[b*bn + i], xb[(b+k)*bn + j]>`` — one batched
     MXU matmul per bin row, same packed [Bp, bn, K*bn] layout as the
     structural pack so a flat gather at ``cov_pack_idx`` yields per-edge
     scores and an elementwise ``C * S`` yields the fused weighted tiles.
-    Scores are emitted at the compute dtype: the MXU accumulates
-    f32 and the weighted aggregation re-accumulates f32 downstream, exactly
-    like the condensed-space dense SDDMM (sddmm_tc_dense_tiles).
+    Scores are emitted f32 (the MXU accumulator) by default so the
+    per-edge SDDMM path keeps full precision like the condensed dense
+    SDDMM; the fused attention callers pass ``out_dtype=compute_dtype``
+    for the in-tile-space ``C * S`` product.
     """
     del interpret
     ct = cfg.compute_dtype
@@ -478,7 +483,7 @@ def bd_score_tiles(xa, xb, *, bp, bn, offsets, cfg, interpret):
         preferred_element_type=jnp.float32,
         precision=_mxu_precision(ct),
     )
-    return s.astype(ct)
+    return s if out_dtype is None else s.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "cfg", "interpret"))
@@ -502,7 +507,8 @@ def _bd_transpose_core(x, tiles, *, offsets, cfg, interpret):
         preferred_element_type=jnp.float32,
         precision=_mxu_precision(ct),
     )
-    kmin, kmax = min(offsets), max(offsets)
+    # Same 0-inclusive normalization as _bd_stack (one-signed offset sets).
+    kmin, kmax = min(0, min(offsets)), max(0, max(offsets))
     out = jnp.zeros((bp + (kmax - kmin), bn, d), jnp.float32)
     for i, k in enumerate(offsets):
         out = out.at[k - kmin : k - kmin + bp].add(

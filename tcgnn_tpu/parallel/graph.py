@@ -169,31 +169,21 @@ class DistributedTiledGraph:
             and np.array_equal(np.asarray(t_idx, np.int64), np.asarray(column_index, np.int64))
         )
 
-        fwd, bwd = partition_graph(
-            row_pointers, column_index, self.num_nodes, self.pg, config
-        )
-        self.host_fwd, self.host_bwd = fwd, bwd
-        self.padded_nodes = fwd.padded_nodes
-        self.padded_edges = fwd.padded_edges
-        self.edge_capacity = fwd.edge_capacity
-        if dense_tiles is None:
-            # per-shard dense index space must fit int32
-            dense_tiles = (
-                max(fwd.a_tiles.shape[1], bwd.a_tiles.shape[1])
-                * config.blk_h * config.blk_w < 2**31
-            )
-        self.dense_tiles = dense_tiles
-
         # Block-diagonal fast path (parallel/blockdiag.py): fully-covered
         # banded/component graphs shard by contiguous bin ranges and serve
         # every op from packed diagonal tiles with a nearest-neighbor
         # ppermute rim halo — no condensed tiles, no index-driven exchange.
-        rows_per_shard = fwd.padded_nodes // self.pg
+        # Probed BEFORE partitioning so the light layout-only partition
+        # (build_tiles=False) skips the per-shard dense tile / overlap /
+        # halo materialization the BD path would throw away.
+        blk_h = config.blk_h
+        wd = _round_up(max(-(-self.num_nodes // blk_h), 1), self.pg) // self.pg
+        rows_per_shard = wd * blk_h  # == partition_csr's derivation
         self.block_diag = False
         self._bd_host = None
-        if dense_tiles and block_diag is not False:
+        bdm = bdm_t = None
+        if dense_tiles is not False and block_diag is not False:
             from tcgnn_tpu.sgt.blockdiag import extract_block_diag
-            from tcgnn_tpu.parallel.blockdiag import build_bd_shard_meta
 
             bdm = extract_block_diag(row_pointers, column_index, self.num_nodes)
             bdm_t = (
@@ -214,27 +204,49 @@ class DistributedTiledGraph:
                     and len(m.offsets) * b_loc * m.bin_rows**2 + 1 < 2**31
                 )
 
-            if _ok(bdm) and _ok(bdm_t):
-                self.block_diag = True
-                self._bd_host = (
-                    build_bd_shard_meta(
-                        bdm, fwd.edge_start, rows_per_shard,
-                        self.pg, fwd.edge_capacity,
-                    ),
-                    build_bd_shard_meta(
-                        bdm_t, bwd.edge_start, rows_per_shard,
-                        self.pg, bwd.edge_capacity,
-                    ),
-                )
+            self.block_diag = _ok(bdm) and _ok(bdm_t)
         if block_diag and not self.block_diag:
             raise ValueError(
                 "block_diag requested but the graph is not fully covered "
                 "by shard-compatible diagonals"
             )
 
+        fwd, bwd = partition_graph(
+            row_pointers, column_index, self.num_nodes, self.pg, config,
+            build_tiles=not self.block_diag,
+        )
+        assert fwd.rows_per_shard == rows_per_shard, (
+            fwd.rows_per_shard, rows_per_shard,
+        )
+        self.host_fwd, self.host_bwd = fwd, bwd
+        self.padded_nodes = fwd.padded_nodes
+        self.padded_edges = fwd.padded_edges
+        self.edge_capacity = fwd.edge_capacity
         if self.block_diag:
+            dense_tiles = True  # the BD packs ARE the dense-class format
+        elif dense_tiles is None:
+            # per-shard dense index space must fit int32
+            dense_tiles = (
+                max(fwd.a_tiles.shape[1], bwd.a_tiles.shape[1])
+                * config.blk_h * config.blk_w < 2**31
+            )
+        self.dense_tiles = dense_tiles
+
+        if self.block_diag:
+            from tcgnn_tpu.parallel.blockdiag import build_bd_shard_meta
+
+            self._bd_host = (
+                build_bd_shard_meta(
+                    bdm, fwd.edge_start, rows_per_shard,
+                    self.pg, fwd.edge_capacity,
+                ),
+                build_bd_shard_meta(
+                    bdm_t, bwd.edge_start, rows_per_shard,
+                    self.pg, bwd.edge_capacity,
+                ),
+            )
             # The packed diagonals serve every op; the condensed window
-            # tiling stays host-side (stats + edge layout) and its device
+            # tiling stays host-side (layout + stats only) and its device
             # arrays — the big HBM cost — are never built.
             self._fwd = self._bwd = None
         else:
@@ -421,19 +433,11 @@ class DistributedTiledGraph:
             b_max = m["a_tiles"].shape[1]
             if weighted:
                 size = b_max * blk_h * blk_w
-                if use_fwd_slot:
-                    # Forward-ordered weights: gather all shards' slabs, then
-                    # index through the per-t-edge slot table.  (Per-edge
-                    # scalars — O(E) total, small next to features.)
-                    w_all = jax.lax.all_gather(w_loc, "graph", axis=0, tiled=True)
-                    w_ext = jnp.concatenate([w_all, jnp.zeros((1,), w_all.dtype)])
-                    vals = w_ext[m["edge_fwd_slot"][0]]
-                else:
-                    vals = jnp.where(m["edge_valid"][0], w_loc, 0.0)
+                vals = _overlap_edge_vals(m, w_loc, use_fwd_slot)
                 tiles = (
                     jnp.zeros((size,), jnp.float32)
                     .at[m["edge_pos"][0]]
-                    .add(vals.astype(jnp.float32))
+                    .add(vals)
                     .reshape(b_max, blk_h, blk_w)
                 )
             else:
@@ -755,7 +759,9 @@ class DistributedTiledGraph:
         def rim_stack(x_loc, offs, b_loc, bn):
             """[b_loc, K*bn, d] halo stack from the local slab + rim shifts."""
             d = x_loc.shape[1]
-            kmin, kmax = min(offs), max(offs)
+            # 0-inclusive like ops.spmm._bd_stack: one-signed offset sets
+            # must not produce negative pad/slice arithmetic.
+            kmin, kmax = min(0, min(offs)), max(0, max(offs))
             xb = x_loc.astype(ct)
             parts = []
             if kmin < 0:
@@ -876,7 +882,7 @@ class DistributedTiledGraph:
         self._bd_agnn_fwd = self._bd_agnn_bwd = None
         if self.symmetric:
             offs, bn, b_loc = mf.offsets, mf.bin_rows, mf.bins_per_shard
-            kmin, kmax = min(offs), max(offs)
+            kmin, kmax = min(0, min(offs)), max(0, max(offs))
 
             def s_tiles(xa_loc, xs):
                 xab = xa_loc.astype(ct).reshape(b_loc, bn, xa_loc.shape[1])
@@ -1171,6 +1177,11 @@ class BoundDistributedGraph:
         self.padded_nodes = parent.padded_nodes
         self.padded_edges = parent.padded_edges
         self.config = parent.config
+        # The layer-schedule heuristics (gcn_conv) read these off the graph
+        # they're handed — mirror BoundGraph so bound and unbound distributed
+        # graphs pick the same aggregate/project order.
+        self.dense_tiles = parent.dense_tiles
+        self.block_diag = parent.block_diag
 
 
 def distributed_graph_from_dataset(

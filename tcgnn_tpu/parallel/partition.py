@@ -390,12 +390,19 @@ def partition_csr(
     num_shards: int,
     config: TileConfig = DEFAULT_CONFIG,
     edge_capacity: Optional[int] = None,
+    build_tiles: bool = True,
 ) -> ShardedSGTMeta:
     """Window-aligned 1-D partition of a CSR adjacency over ``num_shards``.
 
     Each shard's rows are tiled independently with the standard SGT pass —
     identical math to the single-device tiling because windows never cross
     shard boundaries.
+
+    ``build_tiles=False`` returns a LIGHT layout-only meta (shapes, edge
+    offsets, block stats; every stacked array is None) for callers that
+    serve the ops elsewhere — the distributed block-diagonal path — and
+    would otherwise pay gigabytes of host tile materialization (per-shard
+    dense a_tiles, overlap split, halo tables) just to throw it away.
     """
     blk_h = config.blk_h
     row_pointers = np.asarray(row_pointers, dtype=np.int64)
@@ -419,7 +426,32 @@ def partition_csr(
         local_cols = column_index[ptr[r0] : ptr[r1]]
         local_cols_list.append(local_cols)
         metas.append(
-            sparse_graph_translate(local_ptr, local_cols, rows_per_shard, config)
+            sparse_graph_translate(
+                local_ptr, local_cols, rows_per_shard, config,
+                emit_chunks=build_tiles, build_tiles=False,
+            )
+        )
+
+    if not build_tiles:
+        counts = np.diff(edge_start)
+        e_max = int(
+            edge_capacity if edge_capacity is not None else max(counts.max(), 1)
+        )
+        return ShardedSGTMeta(
+            config=config,
+            num_shards=num_shards,
+            num_nodes=num_nodes,
+            num_edges=num_edges,
+            rows_per_shard=rows_per_shard,
+            windows_per_shard=rows_per_shard // blk_h,
+            edge_capacity=e_max,
+            num_real_blocks=sum(m.num_real_blocks for m in metas),
+            edge_start=edge_start.astype(np.int64),
+            col_ids=None, a_tiles=None, block_window=None,
+            block_first_in_window=None, edge_pos=None, chunk_r=None,
+            chunk_c=None, chunk_edge_id=None, chunk_block=None,
+            chunk_window=None, chunk_first_in_window=None, edge_perm=None,
+            edge_valid=None,
         )
 
     stacked = _stack_shards(
@@ -493,6 +525,7 @@ def partition_graph(
     num_shards: int,
     config: TileConfig = DEFAULT_CONFIG,
     symmetric: bool = False,
+    build_tiles: bool = True,
 ) -> tuple[ShardedSGTMeta, ShardedSGTMeta]:
     """Forward + transpose sharded metadata for distributed training.
 
@@ -502,12 +535,17 @@ def partition_graph(
     transpose keeps gradients exact on directed graphs where the reference
     silently assumes symmetry (``TCGNN.cpp:270``).
     """
-    fwd = partition_csr(row_pointers, column_index, num_nodes, num_shards, config)
+    fwd = partition_csr(
+        row_pointers, column_index, num_nodes, num_shards, config,
+        build_tiles=build_tiles,
+    )
 
     t_ptr, t_idx, t_src = transpose_csr(
         np.asarray(row_pointers), np.asarray(column_index), num_nodes
     )
-    bwd = partition_csr(t_ptr, t_idx, num_nodes, num_shards, config)
+    bwd = partition_csr(
+        t_ptr, t_idx, num_nodes, num_shards, config, build_tiles=build_tiles
+    )
 
     # Map each transpose chunk slot -> forward padded-layout slot.
     G, e_max_t = bwd.num_shards, bwd.edge_capacity
@@ -522,14 +560,15 @@ def partition_graph(
 
     # local t-edge id -> global t-edge -> forward global edge -> fwd slot.
     t_src_ext = np.concatenate([t_src.astype(np.int64), [fwd.num_edges]])
-    chunk_fwd_slot = np.empty_like(bwd.chunk_edge_id)
-    for s in range(G):
-        local = bwd.chunk_edge_id[s].astype(np.int64)  # sentinel = e_max_t
-        global_t = np.where(
-            local == e_max_t, len(t_src), bwd.edge_start[s] + local
-        )
-        chunk_fwd_slot[s] = fwd_slot_of_global[t_src_ext[global_t]].astype(np.int32)
-    bwd.chunk_fwd_slot = chunk_fwd_slot
+    if build_tiles:
+        chunk_fwd_slot = np.empty_like(bwd.chunk_edge_id)
+        for s in range(G):
+            local = bwd.chunk_edge_id[s].astype(np.int64)  # sentinel = e_max_t
+            global_t = np.where(
+                local == e_max_t, len(t_src), bwd.edge_start[s] + local
+            )
+            chunk_fwd_slot[s] = fwd_slot_of_global[t_src_ext[global_t]].astype(np.int32)
+        bwd.chunk_fwd_slot = chunk_fwd_slot
 
     # Dense-path variant: the same mapping per *edge* instead of per chunk
     # slot (feeds the weighted-tile scatter in the distributed backward).

@@ -256,6 +256,46 @@ def test_bd_fused_agnn_matches_dense_formulation():
     np.testing.assert_allclose(np.asarray(gaw), np.asarray(ogaw), rtol=2e-3, atol=2e-3)
 
 
+def test_bd_one_signed_offsets_upper_triangular():
+    """A strictly upper-triangular banded graph selects only positive
+    offsets (no diagonal-0 stream); pads/slices must stay in-bounds and
+    values + grads must match the dense oracle."""
+    n = 1024
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, n - 256, 3000)
+    dst = src + rng.integers(128, 256, 3000)  # offsets {+1, +2} only
+    ptr, idx = coo_to_csr(src, dst, n)
+    g = TiledGraph(ptr, idx, n, CFG)
+    assert g.block_diag and min(g._bd_offsets) > 0, g._bd_offsets
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    a = dense_adj(ptr, idx, n)
+    np.testing.assert_allclose(
+        np.asarray(g.spmm(x)), a @ np.asarray(x), rtol=2e-4, atol=2e-4
+    )
+
+    def loss(x_):
+        return jnp.sum(jnp.cos(g.spmm(x_)))
+
+    gx = jax.grad(loss)(x)
+    ogx = jax.grad(lambda x_: jnp.sum(jnp.cos(jnp.asarray(a) @ x_)))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(ogx), rtol=2e-3, atol=2e-3
+    )
+    # weighted + sddmm ride the same stack/transpose helpers
+    w = jnp.asarray(rng.random(g.num_edges).astype(np.float32))
+    aw = _dense_weighted(ptr, idx, n, w)
+    np.testing.assert_allclose(
+        np.asarray(g.spmm_weighted(x, w)), aw @ np.asarray(x),
+        rtol=2e-4, atol=2e-4,
+    )
+    rows = np.repeat(np.arange(n), np.diff(ptr))
+    xo = np.asarray(x)
+    np.testing.assert_allclose(
+        np.asarray(g.sddmm(x)), (xo[rows] * xo[np.asarray(idx)]).sum(1),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_bd_full_coverage_skips_condensed_tiles():
     """Fully-covered BD graphs must not build the dead condensed tile array."""
     n = 1200
