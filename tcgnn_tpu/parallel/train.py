@@ -101,7 +101,9 @@ def make_distributed_train_step(
         nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
         return jnp.sum(nll * mask) / denom
 
-    @jax.jit
+    # Donated like the single-device step: Adam state + params update in
+    # place instead of holding two generations in HBM.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def _step(params, opt_state, key, x, y, mask, garr, l1_agg):
         g = graph.bind(garr)
         key, sub = jax.random.split(key)

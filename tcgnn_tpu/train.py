@@ -134,7 +134,11 @@ def make_train_step(
         )
         return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
 
-    @jax.jit
+    # params/opt_state are consumed and rebuilt every epoch — donating them
+    # lets XLA update Adam moments and weights in place instead of holding
+    # both generations in HBM (matters on the big-graph runs where the
+    # epoch is bandwidth-bound).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def _step(params, opt_state, key, x, y, garr, l1_agg):
         g = graph.bind(garr)
         key, sub = jax.random.split(key)
