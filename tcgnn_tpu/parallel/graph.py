@@ -57,6 +57,78 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _is_symmetric(row_pointers, column_index, num_nodes: int) -> bool:
+    """Symmetric-adjacency detection (same check as TiledGraph): enables
+    the fused tile-space AGNN path, whose transpose-side gradient reuses
+    the forward shard tiling."""
+    from tcgnn_tpu.sgt.translate import transpose_csr
+
+    t_ptr, t_idx, _ = transpose_csr(
+        np.asarray(row_pointers), np.asarray(column_index), num_nodes
+    )
+    return bool(
+        len(t_ptr) == len(row_pointers)
+        and np.array_equal(np.asarray(t_ptr, np.int64), np.asarray(row_pointers, np.int64))
+        and np.array_equal(np.asarray(t_idx, np.int64), np.asarray(column_index, np.int64))
+    )
+
+
+def probe_block_diag(
+    row_pointers, column_index, num_nodes: int, num_shards: int,
+    config: TileConfig = DEFAULT_CONFIG,
+):
+    """Gate for the distributed block-diagonal fast path.
+
+    Fully-covered banded/component graphs shard by contiguous bin ranges
+    and serve every op from packed diagonal tiles with a nearest-neighbor
+    ppermute rim halo — no condensed tiles, no index-driven exchange
+    (``parallel/blockdiag.py``).  Probed BEFORE partitioning so the light
+    layout-only partition (``build_tiles=False``) skips the per-shard
+    dense tile / overlap / halo materialization the BD path would throw
+    away.  Shared by :class:`DistributedTiledGraph` and
+    :func:`distributed_graph_from_dataset` (which must NOT window-balance
+    a graph headed for the BD path — the balance shuffle destroys the
+    banded layout).
+
+    Returns ``(ok, bdm, bdm_t, symmetric)``.
+    """
+    from tcgnn_tpu.sgt.blockdiag import extract_block_diag
+    from tcgnn_tpu.sgt.translate import transpose_csr
+
+    n = int(num_nodes)
+    blk_h = config.blk_h
+    wd = _round_up(max(-(-n // blk_h), 1), num_shards) // num_shards
+    rows_per_shard = wd * blk_h  # == partition_csr's derivation
+
+    t_ptr, t_idx, _ = transpose_csr(
+        np.asarray(row_pointers), np.asarray(column_index), n
+    )
+    symmetric = bool(
+        len(t_ptr) == len(row_pointers)
+        and np.array_equal(np.asarray(t_ptr, np.int64), np.asarray(row_pointers, np.int64))
+        and np.array_equal(np.asarray(t_idx, np.int64), np.asarray(column_index, np.int64))
+    )
+
+    bdm = extract_block_diag(row_pointers, column_index, n)
+    bdm_t = (
+        bdm if (symmetric or bdm is None) else extract_block_diag(t_ptr, t_idx, n)
+    )
+
+    def _ok(m):
+        if m is None or m.coverage < 1.0:
+            return False
+        if rows_per_shard % m.bin_rows:
+            return False
+        b_loc = rows_per_shard // m.bin_rows
+        # Rim halo reaches one neighbor shard; pack slots fit int32.
+        return (
+            max(abs(k) for k in m.offsets) <= b_loc
+            and len(m.offsets) * b_loc * m.bin_rows**2 + 1 < 2**31
+        )
+
+    return _ok(bdm) and _ok(bdm_t), bdm, bdm_t, symmetric
+
+
 _META_FIELDS = (
     "col_ids",
     "chunk_r",
@@ -155,27 +227,6 @@ class DistributedTiledGraph:
         self.d_tile = d_tile
         self.interpret = default_interpret() if interpret is None else interpret
 
-        # Symmetric-adjacency detection (same check as TiledGraph): enables
-        # the fused tile-space AGNN path, whose transpose-side gradient
-        # reuses the forward shard tiling.
-        from tcgnn_tpu.sgt.translate import transpose_csr
-
-        t_ptr, t_idx, _ = transpose_csr(
-            np.asarray(row_pointers), np.asarray(column_index), self.num_nodes
-        )
-        self.symmetric = bool(
-            len(t_ptr) == len(row_pointers)
-            and np.array_equal(np.asarray(t_ptr, np.int64), np.asarray(row_pointers, np.int64))
-            and np.array_equal(np.asarray(t_idx, np.int64), np.asarray(column_index, np.int64))
-        )
-
-        # Block-diagonal fast path (parallel/blockdiag.py): fully-covered
-        # banded/component graphs shard by contiguous bin ranges and serve
-        # every op from packed diagonal tiles with a nearest-neighbor
-        # ppermute rim halo — no condensed tiles, no index-driven exchange.
-        # Probed BEFORE partitioning so the light layout-only partition
-        # (build_tiles=False) skips the per-shard dense tile / overlap /
-        # halo materialization the BD path would throw away.
         blk_h = config.blk_h
         wd = _round_up(max(-(-self.num_nodes // blk_h), 1), self.pg) // self.pg
         rows_per_shard = wd * blk_h  # == partition_csr's derivation
@@ -183,28 +234,13 @@ class DistributedTiledGraph:
         self._bd_host = None
         bdm = bdm_t = None
         if dense_tiles is not False and block_diag is not False:
-            from tcgnn_tpu.sgt.blockdiag import extract_block_diag
-
-            bdm = extract_block_diag(row_pointers, column_index, self.num_nodes)
-            bdm_t = (
-                bdm
-                if (self.symmetric or bdm is None)
-                else extract_block_diag(t_ptr, t_idx, self.num_nodes)
+            self.block_diag, bdm, bdm_t, self.symmetric = probe_block_diag(
+                row_pointers, column_index, self.num_nodes, self.pg, config
             )
-
-            def _ok(m):
-                if m is None or m.coverage < 1.0:
-                    return False
-                if rows_per_shard % m.bin_rows:
-                    return False
-                b_loc = rows_per_shard // m.bin_rows
-                # Rim halo reaches one neighbor shard; pack slots fit int32.
-                return (
-                    max(abs(k) for k in m.offsets) <= b_loc
-                    and len(m.offsets) * b_loc * m.bin_rows**2 + 1 < 2**31
-                )
-
-            self.block_diag = _ok(bdm) and _ok(bdm_t)
+        else:
+            self.symmetric = _is_symmetric(
+                row_pointers, column_index, self.num_nodes
+            )
         if block_diag and not self.block_diag:
             raise ValueError(
                 "block_diag requested but the graph is not fully covered "
@@ -1185,8 +1221,42 @@ class BoundDistributedGraph:
 
 
 def distributed_graph_from_dataset(
-    ds, mesh=None, config: TileConfig = DEFAULT_CONFIG, **kw
+    ds, mesh=None, config: TileConfig = DEFAULT_CONFIG, balance: bool | str = "auto",
+    **kw,
 ) -> DistributedTiledGraph:
+    """Build a DistributedTiledGraph from a GraphDataset.
+
+    ``balance`` (default ``"auto"``): apply the window-granular LPT shard
+    balance (``sgt.reorder.shard_balance_permutation``) when the graph is
+    NOT headed for the block-diagonal path. Bandwidth orderings leave the
+    end shards many times heavier than the middle ones, and the stacked
+    metadata pads every shard to the max shard's block count — balancing
+    cuts that max (and with it every shard's kernel grid) to ~the mean.
+    NOTE: this permutes ``ds`` IN PLACE (graph, features, labels, masks),
+    exactly like ``reorder_dataset``; pass ``balance=False`` to disable.
+    """
+    if mesh is None:
+        from tcgnn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    pg = int(mesh.shape["graph"])
+    if balance and pg > 1:
+        bd_possible = (
+            kw.get("dense_tiles") is not False and kw.get("block_diag") is not False
+        )
+        if bd_possible:
+            bd_ok, *_ = probe_block_diag(
+                ds.row_pointers, ds.column_index, ds.num_nodes, pg, config
+            )
+        else:
+            bd_ok = False
+        if not bd_ok:
+            from tcgnn_tpu.sgt.reorder import balance_dataset
+
+            balance_dataset(ds, pg, config)
+            # The probe said no (or BD was disabled); the balanced graph
+            # cannot be banded either — skip re-extraction in __init__.
+            kw.setdefault("block_diag", False)
     return DistributedTiledGraph(
         ds.row_pointers, ds.column_index, ds.num_nodes, mesh, config, **kw
     )

@@ -109,6 +109,19 @@ def permute_csr(row_pointers, column_index, perm: np.ndarray):
     )
 
 
+def apply_permutation(ds, perm: np.ndarray):
+    """Permute a GraphDataset in place (graph + features + labels + masks)."""
+    new_ptr, new_cols, _ = permute_csr(ds.row_pointers, ds.column_index, perm)
+    ds.row_pointers = new_ptr
+    ds.column_index = new_cols
+    ds.x = np.asarray(ds.x)[perm]
+    ds.y = np.asarray(ds.y)[perm]
+    for m in ("train_mask", "val_mask", "test_mask"):
+        if getattr(ds, m, None) is not None:
+            setattr(ds, m, np.asarray(getattr(ds, m))[perm])
+    return perm
+
+
 def reorder_dataset(ds, method: str = "rcm"):
     """Permute a GraphDataset in place (graph + features + labels).
 
@@ -125,12 +138,106 @@ def reorder_dataset(ds, method: str = "rcm"):
         )
     else:
         raise ValueError(f"unknown reorder method {method!r}")
-    new_ptr, new_cols, _ = permute_csr(ds.row_pointers, ds.column_index, perm)
-    ds.row_pointers = new_ptr
-    ds.column_index = new_cols
-    ds.x = np.asarray(ds.x)[perm]
-    ds.y = np.asarray(ds.y)[perm]
-    for m in ("train_mask", "val_mask", "test_mask"):
-        if getattr(ds, m, None) is not None:
-            setattr(ds, m, np.asarray(getattr(ds, m))[perm])
-    return perm
+    return apply_permutation(ds, perm)
+
+
+def shard_balance_permutation(
+    row_pointers, column_index, num_nodes: int, num_shards: int, config=None
+) -> np.ndarray:
+    """perm[new] = old: window-granular shard load balancing.
+
+    The distributed layer splits row windows into ``num_shards`` contiguous
+    equal-count ranges (``parallel/partition.partition_csr``) and pads every
+    shard's stacked metadata to the max shard's block count — so each shard
+    *executes* the heaviest shard's kernel grid. Bandwidth orderings (RCM)
+    concentrate dense windows at the band's ends, leaving the end shards
+    3-25x heavier than the middle ones (measured: amazon0601 G=8 after RCM
+    is 3200 blocks on shard 0 vs 99 mid-shard).
+
+    This pass reassigns whole windows to shards by LPT (longest-processing-
+    time greedy, equal window cardinality per shard — the partitioner's
+    shard geometry), then relabels nodes so each shard's windows become
+    contiguous. Window *contents* are untouched, so the per-window SGT
+    tiling — and therefore TC_Blocks/Exp_Edges — is identical; only the
+    window→shard assignment changes. Single-device runs are unaffected
+    (window order is irrelevant there); the banded block-diagonal layout is
+    destroyed, so callers must skip this pass when taking the BD path.
+    """
+    from tcgnn_tpu.config import DEFAULT_CONFIG
+    from tcgnn_tpu.sgt import native
+    from tcgnn_tpu.sgt.translate import _cdiv, _pad_blocks, sparse_graph_translate
+
+    cfg = DEFAULT_CONFIG if config is None else config
+    blk_h = cfg.blk_h
+    n = int(num_nodes)
+    g = int(num_shards)
+    w = max(_cdiv(n, blk_h), 1)
+    identity = np.arange(n, dtype=np.int64)
+    if g <= 1 or w <= g:
+        return identity
+
+    # Per-window *padded* block counts = the load each window adds to its
+    # shard's kernel grid (same padding rule as the stacked metadata).
+    if native.available():
+        per = native.count_blocks(
+            np.ascontiguousarray(row_pointers, np.int64),
+            np.ascontiguousarray(column_index, np.int32),
+            blk_h, cfg.blk_w,
+        )
+        per = np.pad(per, (0, w - len(per))) if len(per) < w else per[:w]
+    else:  # pragma: no cover - the native pass builds in-tree
+        per = sparse_graph_translate(
+            row_pointers, column_index, n, cfg, emit_chunks=False,
+            build_tiles=False,
+        ).block_partition
+    load = _pad_blocks(np.asarray(per, np.int64), cfg).astype(np.int64)
+
+    wd = _cdiv(w, g)
+    caps = np.full(g, wd, np.int64)
+    caps[-1] = w - (g - 1) * wd  # partitioner pads the tail shard
+    if caps[-1] <= 0:  # degenerate tail shards own no real windows
+        caps = np.minimum(np.maximum(w - np.arange(g) * wd, 0), wd)
+    totals = np.zeros(g, np.float64)
+    assign: list[list[int]] = [[] for _ in range(g)]
+
+    # A partial last window (n % blk_h != 0) must stay the globally-last
+    # slot: every preceding slot must hold a full window for the node
+    # relabeling to keep windows blk_h-aligned. Pin it to the last
+    # non-empty shard before the greedy pass.
+    partial = n % blk_h != 0
+    windows = np.arange(w - 1 if partial else w)
+    if partial:
+        s_last = int(np.max(np.nonzero(caps > 0)[0]))
+        assign[s_last].append(w - 1)
+        totals[s_last] += load[w - 1]
+        caps[s_last] -= 1
+
+    for w_id in windows[np.argsort(-load[windows], kind="stable")]:
+        open_ = caps > 0
+        s = int(np.flatnonzero(open_)[np.argmin(totals[open_])])
+        assign[s].append(int(w_id))
+        totals[s] += load[w_id]
+        caps[s] -= 1
+
+    slots: list[int] = []
+    for s in range(g):
+        ws = sorted(assign[s])  # ascending keeps band locality per shard
+        if partial and (w - 1) in ws:
+            ws = [v for v in ws if v != w - 1] + [w - 1]
+        slots.extend(ws)
+    return np.concatenate(
+        [np.arange(v * blk_h, min((v + 1) * blk_h, n), dtype=np.int64) for v in slots]
+    )
+
+
+def balance_dataset(ds, num_shards: int, config=None):
+    """Apply :func:`shard_balance_permutation` to a GraphDataset in place.
+
+    Returns the permutation, or ``None`` when it would be the identity.
+    """
+    perm = shard_balance_permutation(
+        ds.row_pointers, ds.column_index, ds.num_nodes, num_shards, config
+    )
+    if np.array_equal(perm, np.arange(ds.num_nodes, dtype=np.int64)):
+        return None
+    return apply_permutation(ds, perm)

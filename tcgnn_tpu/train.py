@@ -88,6 +88,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "(the reference's schedule) instead of hoisting it out of the "
         "training loop — hoisting is exact for GCN/GIN (see models/nets.py)",
     )
+    p.add_argument(
+        "--no_balance", action="store_true",
+        help="(--mesh only) disable the window-granular LPT shard balance "
+        "applied before partitioning on non-block-diagonal graphs "
+        "(sgt.reorder.shard_balance_permutation)",
+    )
     return p
 
 
@@ -225,7 +231,9 @@ def train_distributed(args, ds, cfg):
     mesh = make_mesh(n_graph=ng, n_feature=nf)
 
     start = time.perf_counter()
-    graph = distributed_graph_from_dataset(ds, mesh, cfg)
+    graph = distributed_graph_from_dataset(
+        ds, mesh, cfg, balance=not args.no_balance
+    )
     print("TC_Blocks:\t{}\nExp_Edges:\t{}".format(graph.tc_blocks, graph.exp_edges))
     print("Prep. (ms):\t{:.3f}".format((time.perf_counter() - start) * 1e3))
 
