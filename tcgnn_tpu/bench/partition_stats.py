@@ -121,15 +121,22 @@ def roofline(shards, rows_per_shard, dim, config: TileConfig = DEFAULT_CONFIG):
         t_ici.append(s["boundary"] * max(dim, 8) * BF16 / ICI_BPS)
     t_local_max = max(t_local)
     t_ici_max = max(t_ici)
-    balance = (sum(x["blocks"] for x in shards) / len(shards)) / max(
+    total_blocks = sum(x["blocks"] for x in shards)
+    balance = (total_blocks / len(shards)) / max(
         max(x["blocks"] for x in shards), 1
     )
-    eff = t_local_max / max(t_local_max, t_ici_max) * balance
+    comm = t_local_max / max(t_local_max, t_ici_max)
+    eff = comm * balance
+    # With the mega-window block-stream split (partition.build_split) the
+    # stacked grid shrinks to ~ideal + 5% slack regardless of hub windows.
+    ideal = -(-total_blocks // len(shards))
+    balance_split = (total_blocks / len(shards)) / (ideal + max(ideal // 20, 1))
     return dict(
         t_local_us=t_local_max * 1e6,
         t_ici_us=t_ici_max * 1e6,
         balance=balance,
         efficiency=eff,
+        efficiency_split=comm * balance_split,
     )
 
 
@@ -185,6 +192,7 @@ def main(argv=None):
                 t_local_us=round(r["t_local_us"], 1),
                 t_ici_us=round(r["t_ici_us"], 1),
                 pred_efficiency=round(r["efficiency"], 3),
+                pred_efficiency_split=round(r["efficiency_split"], 3),
             )
             rows_out.append(row)
             print(" ".join(f"{k}={v}" for k, v in row.items()))

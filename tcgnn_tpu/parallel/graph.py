@@ -25,6 +25,17 @@ The reference framework is single-GPU with no distributed layer at all
   symmetric-adjacency alias, ``TCGNN.cpp:270``); weights given in forward
   edge order are fetched post-all-gather through precomputed
   ``chunk_fwd_slot`` tables.
+* **load balance** — the stacked metadata pads every shard to the heaviest
+  shard's block count, so the mesh executes Bmax grid steps per op. Two
+  levers keep Bmax near total/G: the window-granular LPT relabeling
+  (``sgt.reorder.shard_balance_permutation``, applied by
+  ``distributed_graph_from_dataset``) for flat block distributions
+  (reddit: 1.75x), and the mega-window block-stream split
+  (``partition.build_split``) for hub-dominated ones (amazon class: 3.3x)
+  — underloaded shards compute consecutive tail slices of overloaded
+  windows as guest output windows, placed by column affinity, and one
+  small all_to_all of partial [blk_h, d] tiles returns them to their
+  owners (unweighted SpMM both directions — GCN/GIN's hot path).
 
 The public op surface (``spmm``, ``spmm_weighted``, ``sddmm``) matches
 :class:`tcgnn_tpu.graph.TiledGraph`, so the model layers in
@@ -160,6 +171,15 @@ _OVERLAP_KEYS = (
 )
 
 
+# Mega-window block-stream split (partition.build_split): guest windows are
+# appended output slots; send_pos/recv_row_idx drive the partial-tile
+# all_to_all back to the owners.
+_SPLIT_FIELDS = (
+    "a_tiles", "col_ids_ext", "block_window", "block_first",
+    "send_pos", "recv_row_idx", "send_idx",
+)
+
+
 def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> dict:
     sh = NamedSharding(mesh, P("graph"))
     fields = (set(_META_FIELDS) | set(_DENSE_FIELDS)) - {"col_ids_ext", "send_idx"}
@@ -185,6 +205,13 @@ def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> di
             for cls in ("local", "remote")
             for k in _OVERLAP_KEYS
         )
+    if meta.split is not None:
+        sp = meta.split
+        out["split"] = tuple(
+            jax.device_put(jnp.asarray(sp[k]), sh)
+            for k in ("a_tiles", "col_ids_ext", "block_window", "block_first",
+                      "send_pos", "recv_row_idx")
+        )
     return out
 
 
@@ -208,6 +235,7 @@ class DistributedTiledGraph:
         d_tile: int = 128,
         dense_tiles: Optional[bool] = None,
         block_diag: Optional[bool] = None,
+        split: Optional[bool] = None,
     ):
         if mesh is None:
             from tcgnn_tpu.parallel.mesh import make_mesh
@@ -247,9 +275,18 @@ class DistributedTiledGraph:
                 "by shard-compatible diagonals"
             )
 
+        # Mega-window block-stream split (partition.build_split): auto on
+        # multi-shard non-BD graphs; build_split itself gates on measured
+        # imbalance and returns None on balanced streams.
+        want_split = (
+            split is not False
+            and not self.block_diag
+            and self.pg > 1
+            and config.block_group == 1
+        )
         fwd, bwd = partition_graph(
             row_pointers, column_index, self.num_nodes, self.pg, config,
-            build_tiles=not self.block_diag,
+            build_tiles=not self.block_diag, split=want_split,
         )
         assert fwd.rows_per_shard == rows_per_shard, (
             fwd.rows_per_shard, rows_per_shard,
@@ -267,6 +304,9 @@ class DistributedTiledGraph:
                 * config.blk_h * config.blk_w < 2**31
             )
         self.dense_tiles = dense_tiles
+        if not dense_tiles:
+            # chunk fallback: the split stream is dense-kernel layout only
+            fwd.split = bwd.split = None
 
         if self.block_diag:
             from tcgnn_tpu.parallel.blockdiag import build_bd_shard_meta
@@ -723,6 +763,53 @@ class DistributedTiledGraph:
         self._spmm_u, self._spmm_w, self._spmm_w_t, self._sddmm_raw = (
             _spmm_u, _spmm_w, _spmm_w_t, _sddmm,
         )
+
+        # ---- mega-window block-stream split (unweighted SpMM only) --------
+        # Guest windows are extra output slots past the shard's own rows;
+        # one all_to_all of partial [blk_h, d] tiles returns them to their
+        # owners, which scatter-add (order-invariant float sum). Weighted
+        # ops keep the unsplit stream (guest blocks would need the owner's
+        # per-edge weights); see partition.build_split.
+        def _make_split_fn(meta_host):
+            sp = meta_host.split
+            if sp is None or not self.dense_tiles:
+                return None
+            gcap, qcap = int(sp["guest_cap"]), int(sp["pair_cap"])
+            rows = wd * blk_h
+
+            def local_spmm_split(x_loc, *meta):
+                m = dict(zip(_SPLIT_FIELDS, meta))
+                x_ext = halo_exchange(x_loc, m["send_idx"])
+                out = _spmm_dense_padded(
+                    x_ext, m["a_tiles"][0], m["col_ids_ext"][0],
+                    m["block_window"][0], m["block_first"][0],
+                    cfg=cfg, num_windows=wd + gcap, interpret=interpret,
+                    d_tile=d_tile,
+                )
+                own = out[:rows]
+                d = own.shape[1]
+                guests = out[rows:rows + gcap * blk_h].reshape(gcap, blk_h, d)
+                send = (
+                    jnp.zeros((pg * qcap, blk_h, d), own.dtype)
+                    .at[m["send_pos"][0]].set(guests, mode="drop")
+                )
+                recv = jax.lax.all_to_all(
+                    send.reshape(pg, qcap * blk_h, d), "graph",
+                    split_axis=0, concat_axis=0, tiled=True,
+                )
+                return own.at[m["recv_row_idx"][0]].add(
+                    recv.reshape(pg * qcap * blk_h, d), mode="drop"
+                )
+
+            sp_specs = tuple(P("graph") for _ in _SPLIT_FIELDS)
+            return self._shardmap(
+                local_spmm_split,
+                in_specs=(node_spec,) + sp_specs,
+                out_specs=node_spec,
+            )
+
+        self._spmm_split_f = _make_split_fn(self.host_fwd)
+        self._spmm_split_b = _make_split_fn(self.host_bwd)
         zero_w = jax.device_put(
             jnp.zeros(self.padded_edges, jnp.float32), self._edge_sh
         )
@@ -742,6 +829,12 @@ class DistributedTiledGraph:
             else None,
             tuple(self._fwd[k] for k in self._ag_fields)
             if self._agnn_fwd_sm is not None
+            else None,
+            self._fwd["split"] + (self._fwd["send_idx"],)
+            if self._spmm_split_f is not None
+            else None,
+            self._bwd["split"] + (self._bwd["send_idx"],)
+            if self._spmm_split_b is not None
             else None,
         )
         ops = self._make_ops(*self._device_arrays)
@@ -1103,7 +1196,8 @@ class DistributedTiledGraph:
         return BoundDistributedGraph(self, mk(*device_arrays))
 
     def _make_ops(
-        self, fwd_meta, bwd_meta_slot, zero_w, ov_fwd=None, ov_bwd=None, ag_meta=None
+        self, fwd_meta, bwd_meta_slot, zero_w, ov_fwd=None, ov_bwd=None,
+        ag_meta=None, sp_fwd=None, sp_bwd=None,
     ):
         bwd_meta = bwd_meta_slot[:-1]
         if self._use_overlap:
@@ -1134,15 +1228,24 @@ class DistributedTiledGraph:
                 x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
             return x
 
+        # Mega-window block-stream split: overrides the unweighted SpMM per
+        # direction when the partition built one (see _build_ops).
+        _spmm_sf = self._spmm_split_f if sp_fwd is not None else None
+        _spmm_sb = self._spmm_split_b if sp_bwd is not None else None
+
         # ---- public custom_vjp ops (mirror TiledGraph._make_ops) ----------
         @jax.custom_vjp
         def spmm(x):
+            if _spmm_sf is not None:
+                return _spmm_sf(pad_d(x), *sp_fwd)[:, : x.shape[1]]
             return _spmm_u(pad_d(x), zero_w, *u_fwd_args)[:, : x.shape[1]]
 
         def spmm_fwd(x):
             return spmm(x), None
 
         def spmm_bwd(_, dy):
+            if _spmm_sb is not None:
+                return (_spmm_sb(pad_d(dy), *sp_bwd)[:, : dy.shape[1]],)
             return (_spmm_u(pad_d(dy), zero_w, *u_bwd_args)[:, : dy.shape[1]],)
 
         spmm.defvjp(spmm_fwd, spmm_bwd)

@@ -95,6 +95,18 @@ class ShardedSGTMeta:
     #    "col_ids_ext": [G, Bmax*blk_w] int32,
     #    "overlap_remote_col_ids_ext": [G, ...] int32 | None}
     halo: Optional[dict] = None
+    # Mega-window block-stream split (see build_split): replaces the
+    # unweighted dense SpMM's stream with one where overloaded windows'
+    # block tails are computed by underloaded shards as "guest windows"
+    # and returned to their owners by one small all_to_all of partial
+    # output tiles.  {"a_tiles": [G, Bs, blk_h, blk_w],
+    #   "col_ids_ext": [G, Bs*blk_w], "block_window"/"block_first": [G, Bs],
+    #   "guest_cap": gcap, "pair_cap": qcap,
+    #   "send_pos": [G, gcap] int32 (guest slot -> dest*qcap + lane;
+    #                sentinel G*qcap = unused),
+    #   "recv_row_idx": [G, G*qcap*blk_h] int32 (owner-local row of each
+    #                incoming partial row; sentinel rows_per_shard = pad)}
+    split: Optional[dict] = None
 
     @property
     def padded_nodes(self) -> int:
@@ -208,6 +220,182 @@ def _stack_shards(
     )
 
 
+def build_split(
+    metas: list,
+    rows_per_shard: int,
+    config: TileConfig,
+    imbalance_gate: float = 1.3,
+) -> Optional[dict]:
+    """Mega-window block-stream split for the unweighted dense SpMM.
+
+    After a bandwidth ordering, hub windows hold most of a power-law
+    graph's blocks (amazon0601 at 512x128: two windows carry 87% of 7024
+    blocks), so no window→shard assignment can balance the mesh — the
+    stacked grid is bounded below by max(window load). This pass splits
+    the block *streams* of overloaded windows: the owner keeps the head,
+    underloaded shards compute consecutive tail slices as appended "guest
+    windows", and one all_to_all of partial [blk_h, d] output tiles
+    returns guest sums to their owners (order-invariant float add; the
+    kernel itself is unchanged — guests are just extra output windows).
+
+    Slices are placed by **column affinity**: a window's condensed columns
+    are rank-sorted, so a consecutive block slice covers a contiguous
+    global column range — assigning it to the shard owning the majority of
+    that range keeps most of the slice's feature gathers local (the halo
+    request set is augmented with whatever is left).
+
+    Per-edge layouts (edge_pos, chunks, the overlap classes) are untouched:
+    weighted SpMM / SDDMM keep the unsplit stream, since guest blocks would
+    need the owner's per-edge weights. GCN/GIN's hot path is unweighted in
+    both directions, which is exactly where the imbalance bites.
+
+    Returns None when ``max shard load <= imbalance_gate * ideal`` (split
+    not worth the exchange) — callers fall back to the plain dense path.
+    Requires ``config.block_group == 1`` (the default; grouped streams
+    would let one grid step straddle an owner/guest boundary).
+    """
+    from tcgnn_tpu.sgt.translate import build_a_tiles_host
+
+    g = len(metas)
+    blk_h, blk_w = config.blk_h, config.blk_w
+    wd = rows_per_shard // blk_h
+    if g <= 1 or config.block_group != 1:
+        return None
+
+    win_counts = [
+        np.bincount(m.block_window, minlength=wd).astype(np.int64) for m in metas
+    ]
+    loads = np.array([int(c.sum()) for c in win_counts])
+    total = int(loads.sum())
+    ideal = -(-total // g)
+    if loads.max() <= imbalance_gate * ideal:
+        return None
+
+    # --- choose exports: (owner, window, keep) triples ---------------------
+    slack = max(ideal // 20, 1)
+    cap = np.maximum(ideal + slack - loads, 0)
+    exports = []  # (owner, window, lo, hi) block ranges (window-relative)
+    for s in range(g):
+        excess = int(loads[s] - ideal)
+        if excess <= 0:
+            continue
+        for w in np.argsort(-win_counts[s], kind="stable"):
+            if excess <= 0:
+                break
+            cnt = int(win_counts[s][w])
+            keep = max(1, cnt - excess)
+            if cnt - keep <= 0:
+                continue
+            exports.append((s, int(w), keep, cnt))
+            excess -= cnt - keep
+            loads[s] -= cnt - keep
+    if not exports:
+        return None
+
+    # --- place consecutive slices on shards by column affinity -------------
+    # parts[c]: list of (owner, window, blk_lo, blk_hi) computed by shard c.
+    win_start = [np.cumsum(np.concatenate([[0], c[:-1]])) for c in win_counts]
+    parts: list[list[tuple]] = [[] for _ in range(g)]
+    for (o, w, keep, cnt) in exports:
+        base = int(win_start[o][w])
+        cols = metas[o].col_ids.reshape(-1, blk_w)
+        b = keep
+        while b < cnt:
+            med = int(np.median(cols[base + b]))
+            aff = min(med // rows_per_shard, g - 1)
+            c = aff if (aff != o and cap[aff] > 0) else int(np.argmax(cap))
+            if c == o or cap[c] <= 0:  # nothing left anywhere useful
+                c = int(np.argmin(loads))
+                if c == o:
+                    break
+            take = int(min(cnt - b, max(cap[c], 16)))
+            parts[c].append((o, w, base + b, base + b + take))
+            cap[c] -= take
+            loads[c] += take
+            b += take
+    if not any(parts):
+        return None
+    for c in range(g):
+        parts[c].sort()
+
+    gcap = max(len(p) for p in parts)
+    # lanes per ordered (computing c -> owner o) pair
+    pair_n = np.zeros((g, g), np.int64)
+    for c in range(g):
+        for (o, _, _, _) in parts[c]:
+            pair_n[c, o] += 1
+    qcap = int(pair_n.max())
+
+    exported = [np.zeros(int(c.sum()), bool) for c in win_counts]
+    for c in range(g):
+        for (o, _, lo, hi) in parts[c]:
+            exported[o][lo:hi] = True
+
+    # --- per-shard streams: own survivors + guest slices --------------------
+    tiles_list = [build_a_tiles_host(m) for m in metas]
+    if max(t.max(initial=0.0) for t in tiles_list) <= 127:
+        tdt = np.int8
+    else:
+        import jax.numpy as jnp
+
+        tdt = np.float32 if config.compute_dtype == jnp.float32 else config.compute_dtype
+
+    a_tiles, col_ids, block_window, block_first = [], [], [], []
+    send_pos = np.full((g, max(gcap, 1)), g * max(qcap, 1), np.int32)
+    recv_row = np.full((g, g, max(qcap, 1)), rows_per_shard, np.int32)
+    for c in range(g):
+        keep_mask = ~exported[c]
+        t = [tiles_list[c][keep_mask].astype(tdt)]
+        ci = [metas[c].col_ids.reshape(-1, blk_w)[keep_mask]]
+        bw = [metas[c].block_window[keep_mask]]
+        bf = [metas[c].block_first_in_window[keep_mask]]
+        lane_used = np.zeros(g, np.int64)
+        for j, (o, w, lo, hi) in enumerate(parts[c]):
+            t.append(tiles_list[o][lo:hi].astype(tdt))
+            ci.append(metas[o].col_ids.reshape(-1, blk_w)[lo:hi])
+            bw.append(np.full(hi - lo, wd + j, np.int32))
+            first = np.zeros(hi - lo, np.int32)
+            first[0] = 1
+            bf.append(first)
+            lane = int(lane_used[o])
+            lane_used[o] += 1
+            send_pos[c, j] = o * qcap + lane
+            recv_row[o, c, lane] = w * blk_h
+        # zero-init unused guest slots so their output tiles are defined
+        # before the (dropped) exchange read.
+        for j in range(len(parts[c]), gcap):
+            t.append(np.zeros((1, blk_h, blk_w), tdt))
+            ci.append(np.zeros((1, blk_w), metas[c].col_ids.dtype))
+            bw.append(np.full(1, wd + j, np.int32))
+            bf.append(np.ones(1, np.int32))
+        a_tiles.append(np.concatenate(t))
+        col_ids.append(np.concatenate(ci).reshape(-1))
+        block_window.append(np.concatenate(bw).astype(np.int32))
+        block_first.append(np.concatenate(bf).astype(np.int32))
+
+    bs = max(a.shape[0] for a in a_tiles)
+    last = wd + max(gcap, 1) - 1
+    split = {
+        "a_tiles": np.stack([_pad_axis0(a, bs, 0) for a in a_tiles]),
+        "col_ids": np.stack(
+            [_pad_axis0(cil.reshape(-1, blk_w), bs, 0).reshape(-1) for cil in col_ids]
+        ),
+        "block_window": np.stack([_pad_axis0(b, bs, last) for b in block_window]),
+        "block_first": np.stack([_pad_axis0(b, bs, 0) for b in block_first]),
+        "guest_cap": gcap,
+        "pair_cap": qcap,
+        "send_pos": send_pos,
+    }
+    # Expanded per-row targets for the owner-side scatter-add:
+    # incoming lane (src c, lane l) row r -> recv_row[o, c, l] + r.
+    rr = recv_row[:, :, :, None] + np.arange(blk_h, dtype=np.int32)
+    rr = np.where(
+        recv_row[:, :, :, None] >= rows_per_shard, rows_per_shard, rr
+    )
+    split["recv_row_idx"] = rr.reshape(g, -1).astype(np.int32)
+    return split
+
+
 def split_local_remote(
     meta: "SGTMeta",
     column_index: np.ndarray,
@@ -307,6 +495,8 @@ def build_halo(
     overlap_remote_col_ids: Optional[np.ndarray],
     num_shards: int,
     rows_per_shard: int,
+    extra_cols_list: Optional[list] = None,
+    split_col_ids: Optional[np.ndarray] = None,
 ) -> dict:
     """Boundary-only halo structures for the distributed ops.
 
@@ -327,7 +517,12 @@ def build_halo(
     requests = []  # requests[s][t]: sorted unique ids owned by t, needed by s
     for s in range(G):
         lo, hi = s * rows_per_shard, (s + 1) * rows_per_shard
-        cols = np.unique(np.asarray(local_cols_list[s], np.int64))
+        cols = np.asarray(local_cols_list[s], np.int64)
+        if extra_cols_list is not None and len(extra_cols_list[s]):
+            # guest-window columns (build_split): the shard gathers them
+            # even though it owns none of their rows.
+            cols = np.concatenate([cols, np.asarray(extra_cols_list[s], np.int64)])
+        cols = np.unique(cols)
         remote = cols[(cols < lo) | (cols >= hi)]
         owner = remote // rows_per_shard
         requests.append([remote[owner == t] for t in range(G)])
@@ -375,11 +570,15 @@ def build_halo(
         ov_ext = np.stack(
             [remaps[s](overlap_remote_col_ids[s]) for s in range(G)]
         )
+    sp_ext = None
+    if split_col_ids is not None:
+        sp_ext = np.stack([remaps[s](split_col_ids[s]) for s in range(G)])
     return {
         "capacity": H,
         "send_idx": send_idx,
         "col_ids_ext": col_ids_ext,
         "overlap_remote_col_ids_ext": ov_ext,
+        "split_col_ids_ext": sp_ext,
     }
 
 
@@ -391,6 +590,7 @@ def partition_csr(
     config: TileConfig = DEFAULT_CONFIG,
     edge_capacity: Optional[int] = None,
     build_tiles: bool = True,
+    split: bool = False,
 ) -> ShardedSGTMeta:
     """Window-aligned 1-D partition of a CSR adjacency over ``num_shards``.
 
@@ -460,13 +660,26 @@ def partition_csr(
     stacked.overlap = _stack_overlap(
         metas, local_cols_list, rows_per_shard, config, stacked.edge_capacity
     )
+    split_host = build_split(metas, rows_per_shard, config) if split else None
     stacked.halo = build_halo(
         local_cols_list,
         stacked.col_ids,
         stacked.overlap["remote"]["col_ids"] if stacked.overlap else None,
         num_shards,
         rows_per_shard,
+        extra_cols_list=(
+            [split_host["col_ids"][s] for s in range(num_shards)]
+            if split_host is not None
+            else None
+        ),
+        split_col_ids=split_host["col_ids"] if split_host is not None else None,
     )
+    if split_host is not None:
+        split_host["col_ids_ext"] = stacked.halo.pop("split_col_ids_ext")
+        del split_host["col_ids"]
+        stacked.split = split_host
+    else:
+        stacked.halo.pop("split_col_ids_ext", None)
     return stacked
 
 
@@ -526,6 +739,7 @@ def partition_graph(
     config: TileConfig = DEFAULT_CONFIG,
     symmetric: bool = False,
     build_tiles: bool = True,
+    split: bool = False,
 ) -> tuple[ShardedSGTMeta, ShardedSGTMeta]:
     """Forward + transpose sharded metadata for distributed training.
 
@@ -537,14 +751,15 @@ def partition_graph(
     """
     fwd = partition_csr(
         row_pointers, column_index, num_nodes, num_shards, config,
-        build_tiles=build_tiles,
+        build_tiles=build_tiles, split=split,
     )
 
     t_ptr, t_idx, t_src = transpose_csr(
         np.asarray(row_pointers), np.asarray(column_index), num_nodes
     )
     bwd = partition_csr(
-        t_ptr, t_idx, num_nodes, num_shards, config, build_tiles=build_tiles
+        t_ptr, t_idx, num_nodes, num_shards, config, build_tiles=build_tiles,
+        split=split,
     )
 
     # Map each transpose chunk slot -> forward padded-layout slot.

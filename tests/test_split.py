@@ -1,0 +1,128 @@
+"""Mega-window block-stream split (parallel/partition.build_split).
+
+After a bandwidth ordering, one or two hub windows hold most of a
+power-law graph's blocks (amazon0601: 87% in 2 of 788 windows), so no
+window→shard assignment balances the mesh. The split lets underloaded
+shards compute consecutive tail slices of overloaded windows as guest
+output windows and returns partial tiles to the owners with one small
+all_to_all. These tests force the split with a planted mega-window and
+check exactness (fwd + grad vs the single-device op), the stacked-grid
+reduction, and the end-to-end training step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tcgnn_tpu.config import TileConfig
+from tcgnn_tpu.graph import TiledGraph
+from tcgnn_tpu.ops.reference import spmm_ref
+from tcgnn_tpu.parallel import (
+    DistributedTiledGraph,
+    init_distributed_net,
+    make_distributed_train_step,
+    make_mesh,
+)
+
+CFG = TileConfig(blk_h=16, blk_w=16, edge_chunk=16)
+
+
+def mega_csr(n, hub_rows=16, hub_deg=160, seed=0, symmetric=False):
+    """Random sparse graph with one dense (mega) row window at the front."""
+    rng = np.random.default_rng(seed)
+    deg = rng.poisson(4, n).clip(0, n - 1)
+    deg[:hub_rows] = hub_deg
+    cols = [np.unique(rng.integers(0, n, d)) for d in deg]
+    if symmetric:
+        import scipy.sparse as sp
+
+        rows = np.repeat(np.arange(n), [len(c) for c in cols])
+        a = sp.csr_matrix(
+            (np.ones(len(rows)), (rows, np.concatenate(cols))), shape=(n, n)
+        )
+        a = ((a + a.T) > 0).astype(np.int8).tocsr()
+        return a.indptr.astype(np.int32), a.indices.astype(np.int32)
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum([len(c) for c in cols], out=ptr[1:])
+    return ptr.astype(np.int32), np.concatenate(cols).astype(np.int32)
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    return make_mesh(n_graph=4, n_feature=2)
+
+
+def test_split_engages_and_shrinks_grid(mesh42):
+    n = 400
+    ptr, cols = mega_csr(n)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
+    sp = dg.host_fwd.split
+    assert sp is not None, "mega-window graph must trigger the split"
+    # Unsplit stacked grid is bounded below by the mega window's block count.
+    unsplit = DistributedTiledGraph(ptr, cols, n, mesh42, CFG, split=False)
+    assert unsplit.host_fwd.split is None
+    b_unsplit = unsplit.host_fwd.a_tiles.shape[1]
+    b_split = sp["a_tiles"].shape[1]
+    assert b_split < b_unsplit
+    # Total real work is conserved: guests are slices, not copies.
+    assert int((sp["a_tiles"].sum(axis=(2, 3)) > 0).sum()) <= b_unsplit * dg.pg
+
+
+def test_split_spmm_fwd_and_grad_exact(mesh42):
+    n, d = 400, 24
+    ptr, cols = mega_csr(n, symmetric=True)  # symmetric -> both sides split
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
+    assert dg.host_fwd.split is not None and dg.host_bwd.split is not None
+    x = np.random.default_rng(1).standard_normal((n, d)).astype(np.float32)
+    out = jax.jit(dg.spmm)(dg.shard_features(x))
+    want = np.asarray(spmm_ref(jnp.asarray(x), jnp.asarray(ptr), jnp.asarray(cols)))
+    np.testing.assert_allclose(np.asarray(out)[:n, :d], want, rtol=1e-4, atol=1e-4)
+
+    sg = TiledGraph(ptr, cols, n, CFG)
+    g_d = jax.grad(lambda v: jnp.sum(dg.spmm(v) ** 2))(dg.shard_features(x))
+    g_s = np.asarray(jax.grad(lambda v: jnp.sum(sg.spmm(v) ** 2))(jnp.asarray(x)))
+    np.testing.assert_allclose(
+        np.asarray(g_d)[:n, :d], g_s[:n, :d], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_split_train_step_decreases_loss(mesh42):
+    n = 400
+    ptr, cols = mega_csr(n, seed=3)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
+    assert dg.host_fwd.split is not None
+    rng = np.random.default_rng(0)
+    x = dg.shard_features(rng.standard_normal((n, 32)).astype(np.float32))
+    y = dg.shard_nodes((rng.integers(0, 5, n)).astype(np.int32))
+    params, _, _ = init_distributed_net(
+        jax.random.PRNGKey(0), "gcn", x.shape[1], 16, 5, 2, dg
+    )
+    opt = optax.adam(0.01)
+    st = opt.init(params)
+    step = make_distributed_train_step(dg, "gcn", x, y, opt, 0.0, num_valid_classes=5)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(5):
+        params, st, key, loss = step(params, st, key)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_split_weighted_ops_keep_unsplit_stream(mesh42):
+    """spmm_weighted / sddmm still run (on the unsplit stream) when the
+    unweighted path is split."""
+    n, d = 400, 16
+    ptr, cols = mega_csr(n, symmetric=True, seed=4)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
+    assert dg.host_fwd.split is not None
+    x = np.random.default_rng(2).standard_normal((n, d)).astype(np.float32)
+    xs = dg.shard_features(x)
+    e = jax.jit(dg.sddmm)(xs)
+    w = dg.edge_weights_to_sharded(np.ones(dg.num_edges, np.float32))
+    out = jax.jit(dg.spmm_weighted)(xs, w)
+    # weighted with all-ones == unweighted
+    want = np.asarray(spmm_ref(jnp.asarray(x), jnp.asarray(ptr), jnp.asarray(cols)))
+    np.testing.assert_allclose(np.asarray(out)[:n, :d], want, rtol=1e-4, atol=1e-4)
+    assert np.isfinite(np.asarray(e)).all()
