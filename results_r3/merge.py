@@ -27,13 +27,17 @@ def merge(model):
         for r in csv.DictReader(open(os.path.join(R2, f"Fig_6a_xla_{model}.csv")))
     }
     out = os.path.join(HERE, f"Fig_6a_xla_{model}.csv")
+    written = 0
     with open(out, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["dataset", "xla_baseline", "tcgnn_tpu", "speedup"])
         for ds, t in ours.items():
             if ds in base:
                 w.writerow([ds, f"{base[ds]:.3f}", f"{t:.3f}", f"{base[ds] / t:.3f}"])
-    print(f"wrote {out} ({len(ours)} rows)")
+                written += 1
+            else:
+                print(f"WARNING: {ds} has no r2 baseline row — dropped")
+    print(f"wrote {out} ({written} of {len(ours)} rows)")
 
 
 if __name__ == "__main__":

@@ -1,6 +1,10 @@
 from tcgnn_tpu.parallel.mesh import make_mesh
 from tcgnn_tpu.parallel.partition import partition_csr, partition_graph, ShardedSGTMeta
-from tcgnn_tpu.parallel.graph import DistributedTiledGraph, distributed_graph_from_dataset
+from tcgnn_tpu.parallel.graph import (
+    DistributedTiledGraph,
+    distributed_graph_from_dataset,
+    probe_block_diag,
+)
 from tcgnn_tpu.parallel.train import (
     init_distributed_net,
     make_distributed_train_step,
@@ -13,6 +17,7 @@ __all__ = [
     "ShardedSGTMeta",
     "DistributedTiledGraph",
     "distributed_graph_from_dataset",
+    "probe_block_diag",
     "init_distributed_net",
     "make_distributed_train_step",
 ]

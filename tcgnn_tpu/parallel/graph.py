@@ -68,15 +68,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _is_symmetric(row_pointers, column_index, num_nodes: int) -> bool:
+def _is_symmetric(row_pointers, column_index, num_nodes: int, t=None) -> bool:
     """Symmetric-adjacency detection (same check as TiledGraph): enables
     the fused tile-space AGNN path, whose transpose-side gradient reuses
-    the forward shard tiling."""
-    from tcgnn_tpu.sgt.translate import transpose_csr
+    the forward shard tiling.  ``t=(t_ptr, t_idx)`` reuses a precomputed
+    transpose."""
+    if t is None:
+        from tcgnn_tpu.sgt.translate import transpose_csr
 
-    t_ptr, t_idx, _ = transpose_csr(
-        np.asarray(row_pointers), np.asarray(column_index), num_nodes
-    )
+        t_ptr, t_idx, _ = transpose_csr(
+            np.asarray(row_pointers), np.asarray(column_index), num_nodes
+        )
+    else:
+        t_ptr, t_idx = t
     return bool(
         len(t_ptr) == len(row_pointers)
         and np.array_equal(np.asarray(t_ptr, np.int64), np.asarray(row_pointers, np.int64))
@@ -114,11 +118,7 @@ def probe_block_diag(
     t_ptr, t_idx, _ = transpose_csr(
         np.asarray(row_pointers), np.asarray(column_index), n
     )
-    symmetric = bool(
-        len(t_ptr) == len(row_pointers)
-        and np.array_equal(np.asarray(t_ptr, np.int64), np.asarray(row_pointers, np.int64))
-        and np.array_equal(np.asarray(t_idx, np.int64), np.asarray(column_index, np.int64))
-    )
+    symmetric = _is_symmetric(row_pointers, column_index, n, t=(t_ptr, t_idx))
 
     bdm = extract_block_diag(row_pointers, column_index, n)
     bdm_t = (
@@ -236,6 +236,8 @@ class DistributedTiledGraph:
         dense_tiles: Optional[bool] = None,
         block_diag: Optional[bool] = None,
         split: Optional[bool] = None,
+        _probe=None,
+        _symmetric: Optional[bool] = None,
     ):
         if mesh is None:
             from tcgnn_tpu.parallel.mesh import make_mesh
@@ -262,12 +264,20 @@ class DistributedTiledGraph:
         self._bd_host = None
         bdm = bdm_t = None
         if dense_tiles is not False and block_diag is not False:
-            self.block_diag, bdm, bdm_t, self.symmetric = probe_block_diag(
-                row_pointers, column_index, self.num_nodes, self.pg, config
+            # ``_probe``: distributed_graph_from_dataset already ran the
+            # (expensive) gate on this exact CSR — reuse it.
+            self.block_diag, bdm, bdm_t, self.symmetric = (
+                _probe
+                if _probe is not None
+                else probe_block_diag(
+                    row_pointers, column_index, self.num_nodes, self.pg, config
+                )
             )
         else:
-            self.symmetric = _is_symmetric(
-                row_pointers, column_index, self.num_nodes
+            self.symmetric = (
+                _symmetric
+                if _symmetric is not None
+                else _is_symmetric(row_pointers, column_index, self.num_nodes)
             )
         if block_diag and not self.block_diag:
             raise ValueError(
@@ -280,6 +290,7 @@ class DistributedTiledGraph:
         # imbalance and returns None on balanced streams.
         want_split = (
             split is not False
+            and dense_tiles is not False
             and not self.block_diag
             and self.pg > 1
             and config.block_group == 1
@@ -1343,23 +1354,31 @@ def distributed_graph_from_dataset(
 
         mesh = make_mesh()
     pg = int(mesh.shape["graph"])
-    if balance and pg > 1:
+    # Never mutate ds when the caller forces block_diag=True: the
+    # constructor must validate the *unpermuted* graph.
+    if balance and pg > 1 and kw.get("block_diag") is not True:
         bd_possible = (
             kw.get("dense_tiles") is not False and kw.get("block_diag") is not False
         )
-        if bd_possible:
-            bd_ok, *_ = probe_block_diag(
+        probe = (
+            probe_block_diag(
                 ds.row_pointers, ds.column_index, ds.num_nodes, pg, config
             )
+            if bd_possible
+            else None
+        )
+        if probe is not None and probe[0]:
+            kw.setdefault("_probe", probe)  # CSR unchanged: reuse the gate
         else:
-            bd_ok = False
-        if not bd_ok:
             from tcgnn_tpu.sgt.reorder import balance_dataset
 
             balance_dataset(ds, pg, config)
             # The probe said no (or BD was disabled); the balanced graph
             # cannot be banded either — skip re-extraction in __init__.
             kw.setdefault("block_diag", False)
+            if probe is not None:
+                # symmetry is invariant under the node relabeling
+                kw.setdefault("_symmetric", probe[3])
     return DistributedTiledGraph(
         ds.row_pointers, ds.column_index, ds.num_nodes, mesh, config, **kw
     )

@@ -132,6 +132,7 @@ def _stack_shards(
     rows_per_shard: int,
     config: TileConfig,
     edge_capacity: Optional[int] = None,
+    tiles_per_shard: Optional[list] = None,
 ) -> ShardedSGTMeta:
     from tcgnn_tpu.sgt.translate import build_a_tiles_host
 
@@ -148,7 +149,8 @@ def _stack_shards(
     # to_dev); if any shard holds a multigraph block whose duplicate-edge
     # count exceeds int8 range, fall back to the compute dtype globally so
     # stacking stays homogeneous.
-    tiles_per_shard = [build_a_tiles_host(m) for m in metas]
+    if tiles_per_shard is None:
+        tiles_per_shard = [build_a_tiles_host(m) for m in metas]
     if max(t.max(initial=0.0) for t in tiles_per_shard) <= 127:
         tile_np_dtype = np.int8
     else:
@@ -225,6 +227,7 @@ def build_split(
     rows_per_shard: int,
     config: TileConfig,
     imbalance_gate: float = 1.3,
+    tiles_per_shard: Optional[list] = None,
 ) -> Optional[dict]:
     """Mega-window block-stream split for the unweighted dense SpMM.
 
@@ -332,7 +335,11 @@ def build_split(
             exported[o][lo:hi] = True
 
     # --- per-shard streams: own survivors + guest slices --------------------
-    tiles_list = [build_a_tiles_host(m) for m in metas]
+    tiles_list = (
+        tiles_per_shard
+        if tiles_per_shard is not None
+        else [build_a_tiles_host(m) for m in metas]
+    )
     if max(t.max(initial=0.0) for t in tiles_list) <= 127:
         tdt = np.int8
     else:
@@ -654,13 +661,21 @@ def partition_csr(
             edge_valid=None,
         )
 
+    from tcgnn_tpu.sgt.translate import build_a_tiles_host
+
+    tiles_per_shard = [build_a_tiles_host(m) for m in metas]
     stacked = _stack_shards(
-        metas, edge_start, num_nodes, num_edges, rows_per_shard, config, edge_capacity
+        metas, edge_start, num_nodes, num_edges, rows_per_shard, config,
+        edge_capacity, tiles_per_shard=tiles_per_shard,
     )
     stacked.overlap = _stack_overlap(
         metas, local_cols_list, rows_per_shard, config, stacked.edge_capacity
     )
-    split_host = build_split(metas, rows_per_shard, config) if split else None
+    split_host = (
+        build_split(metas, rows_per_shard, config, tiles_per_shard=tiles_per_shard)
+        if split
+        else None
+    )
     stacked.halo = build_halo(
         local_cols_list,
         stacked.col_ids,

@@ -87,7 +87,7 @@ def test_balance_reduces_max_shard_load():
     assert after.max() < before.max()
 
 
-def test_distributed_balanced_matches_reference(mesh42=None):
+def test_distributed_balanced_matches_reference():
     mesh = make_mesh(n_graph=4, n_feature=2)
     ds = synthesize("rand_600_6000", seed=2)
     # Skew the degrees so balance is not a no-op.
@@ -121,6 +121,18 @@ def test_balance_dataset_moves_features_with_rows():
         pytest.skip("identity balance on this instance")
     np.testing.assert_array_equal(ds.x[:, 0].astype(np.int64), perm)
     np.testing.assert_array_equal(ds.y, perm % 3)
+
+
+def test_forced_block_diag_never_mutates_dataset():
+    """block_diag=True on a non-BD graph must raise WITHOUT permuting ds."""
+    mesh = make_mesh(n_graph=4, n_feature=2)
+    ptr, cols = _skewed_csr(600, seed=9)
+    ds = synthesize("rand_600_6000", seed=1)
+    ds.row_pointers, ds.column_index = ptr, cols
+    x_before = np.asarray(ds.x).copy()
+    with pytest.raises(ValueError):
+        distributed_graph_from_dataset(ds, mesh, CFG, block_diag=True)
+    np.testing.assert_array_equal(np.asarray(ds.x), x_before)
 
 
 def test_bd_graphs_skip_balance():
