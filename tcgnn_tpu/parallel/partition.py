@@ -691,7 +691,9 @@ def partition_csr(
     )
     if split_host is not None:
         split_host["col_ids_ext"] = stacked.halo.pop("split_col_ids_ext")
-        del split_host["col_ids"]
+        # keep the global-id view (host only; tests run per-shard kernels
+        # against the full slab under the strict TPU interpreter)
+        split_host["col_ids_global"] = split_host.pop("col_ids")
         stacked.split = split_host
     else:
         stacked.halo.pop("split_col_ids_ext", None)

@@ -49,6 +49,13 @@ def _assert_monotone_output_maps(meta):
             for s in range(meta.num_shards):
                 ws = w[s][::group]
                 assert (np.diff(ws) >= 0).all(), f"{cls} shard {s} revisits"
+    if meta.split is not None:
+        for s in range(meta.num_shards):
+            ws = meta.split["block_window"][s]
+            assert (np.diff(ws) >= 0).all(), f"split shard {s} revisits"
+            # every output window (own + guest slots) is written at least once
+            wd = meta.windows_per_shard + max(meta.split["guest_cap"], 1)
+            assert set(np.unique(ws)) == set(range(wd)), f"split shard {s} gaps"
 
 
 @pytest.mark.parametrize("group", [1, 2])
@@ -186,3 +193,63 @@ def test_int8_overflow_falls_back_to_compute_dtype():
     fwd, bwd = partition_graph(ptr.astype(np.int32), cols.astype(np.int32), n, 2, CFG)
     assert fwd.a_tiles.dtype != np.int8
     assert fwd.a_tiles.max() == 200
+
+
+def test_strict_interpret_split_spmm_per_shard():
+    """Split streams (guest windows + pads) under the TPU-faithful
+    interpreter: output map must stay consecutive-revisit-only, and the
+    host-side replay of the partial-tile exchange must reproduce spmm_ref."""
+    from tcgnn_tpu.ops.spmm import _spmm_dense_padded
+
+    rng = np.random.default_rng(0)
+    n, d = 400, 32
+    deg = rng.poisson(4, n).clip(0, n - 1)
+    deg[:16] = 160  # mega-window -> split engages
+    cols_l = [np.unique(rng.integers(0, n, dd)) for dd in deg]
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum([len(c) for c in cols_l], out=ptr[1:])
+    ptr = ptr.astype(np.int32)
+    cols = np.concatenate(cols_l).astype(np.int32)
+    fwd, _ = partition_graph(ptr, cols, n, 4, CFG, split=True)
+    sp = fwd.split
+    assert sp is not None
+    _assert_monotone_output_maps(fwd)
+
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x_full = np.zeros((fwd.padded_nodes, d), np.float32)
+    x_full[:n] = x
+    want = np.asarray(spmm_ref(jnp.asarray(x), jnp.asarray(ptr), jnp.asarray(cols)))
+
+    g, rows = fwd.num_shards, fwd.rows_per_shard
+    gcap, qcap = sp["guest_cap"], sp["pair_cap"]
+    blk_h = CFG.blk_h
+    wd = fwd.windows_per_shard
+    own = np.zeros((g, rows, d), np.float32)
+    guests = np.zeros((g, max(gcap, 1), blk_h, d), np.float32)
+    for s in range(g):
+        out = np.asarray(
+            _spmm_dense_padded(
+                jnp.asarray(x_full),
+                jnp.asarray(sp["a_tiles"][s]),
+                jnp.asarray(sp["col_ids_global"][s]),
+                jnp.asarray(sp["block_window"][s]),
+                jnp.asarray(sp["block_first"][s]),
+                cfg=CFG,
+                num_windows=wd + max(gcap, 1),
+                interpret=STRICT,
+            )
+        )[:, :d]
+        own[s] = out[:rows]
+        guests[s] = out[rows:].reshape(max(gcap, 1), blk_h, d)
+    # host replay of the partial-tile all_to_all + owner scatter-add
+    for s in range(g):
+        for j in range(max(gcap, 1)):
+            pos = int(sp["send_pos"][s, j])
+            if pos >= g * qcap:
+                continue  # unused slot
+            o, lane = divmod(pos, qcap)
+            ridx = sp["recv_row_idx"][o].reshape(g, qcap, blk_h)[s, lane]
+            assert ridx[0] < rows
+            own[o, ridx[0] : ridx[0] + blk_h] += guests[s, j]
+    got = own.reshape(-1, d)[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
