@@ -217,11 +217,13 @@ class TiledGraph:
             # kernel's HBM tile traffic (the kernel upcasts on load); one
             # scalar fetch of the count max picks the storage dtype, same
             # rule as the host build (sgt/translate.py).
-            # Below ~48 MB of int8 tiles the host build + upload is
-            # cheaper than the device scatter's one-time remote compile
-            # (~8 s through the tunnel at any size); above it the upload
-            # dominates (460 MB ≈ 11 s) and the device build wins.
-            host_build_limit = 48 << 20
+            # The device scatter's compile is bucketed over BOTH shapes
+            # (build_struct_tiles) and lands in the persistent compile
+            # cache, so its steady-state cost is one small upload
+            # (4 bytes/edge) + a ~ms scatter. Only keep the host build for
+            # tiny tile arrays where the upload is already negligible and
+            # a cold-cache compile would dominate.
+            host_build_limit = 4 << 20
 
             def to_dev(meta_jax, host_meta):
                 small = (

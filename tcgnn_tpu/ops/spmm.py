@@ -586,7 +586,8 @@ def spmm_tc_blockout(
 @functools.partial(jax.jit, static_argnames=("padded_blocks", "blk_h", "blk_w"))
 def _build_struct_tiles_padded(edge_pos, *, padded_blocks, blk_h, blk_w):
     flat = jnp.zeros((padded_blocks * blk_h * blk_w,), jnp.int32)
-    flat = flat.at[edge_pos].add(1)
+    # padding slots carry an out-of-range sentinel; drop them explicitly
+    flat = flat.at[edge_pos].add(1, mode="drop")
     tiles = flat.reshape(padded_blocks, blk_h, blk_w)
     return tiles, jnp.max(tiles)
 
@@ -601,15 +602,22 @@ def build_struct_tiles(edge_pos, *, num_blocks, blk_h, blk_w):
     the caller can downcast to int8 storage exactly (mirrors the host
     build's overflow rule, ``sgt/translate.py``).
 
-    The scatter compiles per OUTPUT SHAPE and a remote compile costs
-    seconds through the tunnel, so the block count is bucketed to the
-    next power of two (≤2x transient HBM) and the result sliced back —
-    every graph in a sweep shares a handful of compilations.
+    The scatter compiles per INPUT+OUTPUT SHAPE and a remote compile
+    costs seconds through the tunnel, so BOTH dimensions are bucketed to
+    the next power of two (edge padding carries an out-of-range sentinel
+    the scatter drops; ≤2x transient HBM on the block side) and the
+    result sliced back — every graph in a sweep, and every run through
+    the persistent compile cache, shares a handful of compilations.
     """
     cap = (2**31 - 1) // (blk_h * blk_w)  # edge_pos is int32 (translate.py)
     padded = 1 << max(8, (num_blocks - 1).bit_length())
     if padded > cap:
         padded = min(cap, -(-num_blocks // 1024) * 1024)
+    e = edge_pos.shape[0]
+    e_bucket = 1 << max(12, (e - 1).bit_length())
+    if e_bucket != e:
+        sentinel = padded * blk_h * blk_w  # out of range -> dropped
+        edge_pos = jnp.pad(edge_pos, (0, e_bucket - e), constant_values=sentinel)
     tiles, mx = _build_struct_tiles_padded(
         edge_pos, padded_blocks=padded, blk_h=blk_h, blk_w=blk_w
     )

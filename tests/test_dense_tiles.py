@@ -92,3 +92,32 @@ def test_dense_and_chunk_grads_agree():
     gw_d = jax.grad(lambda ww: jnp.sum(jnp.cos(gd.spmm_weighted(x, ww))))(w)
     gw_c = jax.grad(lambda ww: jnp.sum(jnp.cos(gc.spmm_weighted(x, ww))))(w)
     np.testing.assert_allclose(np.asarray(gw_d), np.asarray(gw_c), rtol=1e-4, atol=1e-4)
+
+
+def test_device_struct_tiles_match_host_build():
+    """build_struct_tiles (device scatter, edge+block shape bucketing) must
+    reproduce the host bincount build exactly — including duplicate-edge
+    counts and the dropped padding sentinels."""
+    from tcgnn_tpu.ops.spmm import build_struct_tiles
+    from tcgnn_tpu.sgt.translate import build_a_tiles_host
+
+    cfg = CFG_SMALL
+    indptr, indices = make_graph(220, 1300, seed=5)
+    # inject duplicate edges (multigraph counts > 1)
+    indices = np.concatenate([indices, indices[:37]])
+    rows = np.repeat(np.arange(220), np.diff(indptr))
+    rows = np.concatenate([rows, rows[:37]])
+    order = np.lexsort((indices, rows))
+    indptr = np.bincount(rows, minlength=220)
+    indptr = np.concatenate([[0], np.cumsum(indptr)]).astype(np.int32)
+    indices = indices[order].astype(np.int32)
+
+    meta = sparse_graph_translate(indptr, indices, 220, cfg)
+    want = build_a_tiles_host(meta)
+    # E=1337 is not a bucket size, so the sentinel-padding path runs.
+    got, mx = build_struct_tiles(
+        jnp.asarray(meta.edge_pos.astype(np.int32)),
+        num_blocks=meta.num_blocks, blk_h=cfg.blk_h, blk_w=cfg.blk_w,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(mx) == int(want.max())
