@@ -128,7 +128,8 @@ def roofline(shards, rows_per_shard, dim, config: TileConfig = DEFAULT_CONFIG):
     comm = t_local_max / max(t_local_max, t_ici_max)
     eff = comm * balance
     # With the mega-window block-stream split (partition.build_split) the
-    # stacked grid shrinks to ~ideal + 5% slack regardless of hub windows.
+    # stacked grid shrinks to ~ideal + 5% slack regardless of hub windows;
+    # the split gates on measured imbalance, so it never makes things worse.
     ideal = -(-total_blocks // len(shards))
     balance_split = (total_blocks / len(shards)) / (ideal + max(ideal // 20, 1))
     return dict(
@@ -136,7 +137,7 @@ def roofline(shards, rows_per_shard, dim, config: TileConfig = DEFAULT_CONFIG):
         t_ici_us=t_ici_max * 1e6,
         balance=balance,
         efficiency=eff,
-        efficiency_split=comm * balance_split,
+        efficiency_split=max(eff, comm * balance_split),
     )
 
 
