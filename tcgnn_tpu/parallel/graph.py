@@ -35,7 +35,11 @@ The reference framework is single-GPU with no distributed layer at all
   — underloaded shards compute consecutive tail slices of overloaded
   windows as guest output windows, placed by column affinity, and one
   small all_to_all of partial [blk_h, d] tiles returns them to their
-  owners (unweighted SpMM both directions — GCN/GIN's hot path).
+  owners.  Both SpMM flavours ride the split stream: the weighted one
+  rebuilds its tiles on the computing shard from an all-gathered edge
+  vector via the per-edge ``edge_pos``/``w_src`` maps.  Per-edge outputs
+  (SDDMM) keep the unsplit stream — score tiles have no reduction, so a
+  guest exchange would move as many bytes as it saves.
 
 The public op surface (``spmm``, ``spmm_weighted``, ``sddmm``) matches
 :class:`tcgnn_tpu.graph.TiledGraph`, so the model layers in
@@ -173,10 +177,11 @@ _OVERLAP_KEYS = (
 
 # Mega-window block-stream split (partition.build_split): guest windows are
 # appended output slots; send_pos/recv_row_idx drive the partial-tile
-# all_to_all back to the owners.
+# all_to_all back to the owners.  edge_pos/w_src rebuild the split stream's
+# weighted tiles from an all-gathered forward edge vector.
 _SPLIT_FIELDS = (
     "a_tiles", "col_ids_ext", "block_window", "block_first",
-    "send_pos", "recv_row_idx", "send_idx",
+    "send_pos", "recv_row_idx", "edge_pos", "w_src", "send_idx",
 )
 
 
@@ -210,7 +215,7 @@ def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> di
         out["split"] = tuple(
             jax.device_put(jnp.asarray(sp[k]), sh)
             for k in ("a_tiles", "col_ids_ext", "block_window", "block_first",
-                      "send_pos", "recv_row_idx")
+                      "send_pos", "recv_row_idx", "edge_pos", "w_src")
         )
     return out
 
@@ -775,24 +780,49 @@ class DistributedTiledGraph:
             _spmm_u, _spmm_w, _spmm_w_t, _sddmm,
         )
 
-        # ---- mega-window block-stream split (unweighted SpMM only) --------
+        # ---- mega-window block-stream split (dense SpMM, both flavours) ---
         # Guest windows are extra output slots past the shard's own rows;
         # one all_to_all of partial [blk_h, d] tiles returns them to their
-        # owners, which scatter-add (order-invariant float sum). Weighted
-        # ops keep the unsplit stream (guest blocks would need the owner's
-        # per-edge weights); see partition.build_split.
-        def _make_split_fn(meta_host):
+        # owners, which scatter-add (order-invariant float sum).  The
+        # weighted flavour rebuilds the split stream's tiles on device:
+        # guest blocks need the owner's per-edge scalars, so ONE all_gather
+        # of the forward-ordered edge vector (O(E) scalars — the transpose
+        # path pays it anyway for fwd-ordered weights) makes every weight
+        # visible, then w_all[w_src] scattered at the split-stream edge_pos
+        # yields this shard's tiles.  Per-edge outputs (SDDMM) keep the
+        # unsplit stream; see partition.build_split.
+        def _make_split_fn(meta_host, weighted=False):
             sp = meta_host.split
             if sp is None or not self.dense_tiles:
                 return None
             gcap, qcap = int(sp["guest_cap"]), int(sp["pair_cap"])
             rows = wd * blk_h
 
-            def local_spmm_split(x_loc, *meta):
+            def local_spmm_split(x_loc, *args):
+                if weighted:
+                    w_loc, *meta = args
+                else:
+                    meta = args
                 m = dict(zip(_SPLIT_FIELDS, meta))
                 x_ext = halo_exchange(x_loc, m["send_idx"])
+                if weighted:
+                    w_all = jax.lax.all_gather(
+                        w_loc, "graph", axis=0, tiled=True
+                    )
+                    w_ext = jnp.concatenate(
+                        [w_all, jnp.zeros((1,), w_all.dtype)]
+                    )
+                    vals = w_ext[m["w_src"][0]].astype(jnp.float32)
+                    b_max = m["a_tiles"].shape[1]
+                    tiles = (
+                        jnp.zeros((b_max * blk_h * blk_w,), jnp.float32)
+                        .at[m["edge_pos"][0]].add(vals, mode="drop")
+                        .reshape(b_max, blk_h, blk_w)
+                    )
+                else:
+                    tiles = m["a_tiles"][0]
                 out = _spmm_dense_padded(
-                    x_ext, m["a_tiles"][0], m["col_ids_ext"][0],
+                    x_ext, tiles, m["col_ids_ext"][0],
                     m["block_window"][0], m["block_first"][0],
                     cfg=cfg, num_windows=wd + gcap, interpret=interpret,
                     d_tile=d_tile,
@@ -813,14 +843,19 @@ class DistributedTiledGraph:
                 )
 
             sp_specs = tuple(P("graph") for _ in _SPLIT_FIELDS)
+            in_specs = (
+                (node_spec, edge_spec) + sp_specs
+                if weighted
+                else (node_spec,) + sp_specs
+            )
             return self._shardmap(
-                local_spmm_split,
-                in_specs=(node_spec,) + sp_specs,
-                out_specs=node_spec,
+                local_spmm_split, in_specs=in_specs, out_specs=node_spec
             )
 
         self._spmm_split_f = _make_split_fn(self.host_fwd)
         self._spmm_split_b = _make_split_fn(self.host_bwd)
+        self._spmm_w_split_f = _make_split_fn(self.host_fwd, weighted=True)
+        self._spmm_w_split_b = _make_split_fn(self.host_bwd, weighted=True)
         zero_w = jax.device_put(
             jnp.zeros(self.padded_edges, jnp.float32), self._edge_sh
         )
@@ -1239,10 +1274,22 @@ class DistributedTiledGraph:
                 x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
             return x
 
-        # Mega-window block-stream split: overrides the unweighted SpMM per
-        # direction when the partition built one (see _build_ops).
+        # Mega-window block-stream split: overrides the dense SpMM (both
+        # flavours) per direction when the partition built one (_build_ops).
         _spmm_sf = self._spmm_split_f if sp_fwd is not None else None
         _spmm_sb = self._spmm_split_b if sp_bwd is not None else None
+        _spmm_w_sf = self._spmm_w_split_f if sp_fwd is not None else None
+        _spmm_w_sb = self._spmm_w_split_b if sp_bwd is not None else None
+
+        def _w_fwd_op(x, w):
+            if _spmm_w_sf is not None:
+                return _spmm_w_sf(pad_d(x), w, *sp_fwd)[:, : x.shape[1]]
+            return _spmm_w(pad_d(x), w, *w_fwd_args)[:, : x.shape[1]]
+
+        def _w_bwd_op(x, w):
+            if _spmm_w_sb is not None:
+                return _spmm_w_sb(pad_d(x), w, *sp_bwd)[:, : x.shape[1]]
+            return _spmm_w_t(pad_d(x), w, *w_bwd_args)[:, : x.shape[1]]
 
         # ---- public custom_vjp ops (mirror TiledGraph._make_ops) ----------
         @jax.custom_vjp
@@ -1263,14 +1310,14 @@ class DistributedTiledGraph:
 
         @jax.custom_vjp
         def spmm_weighted(x, w):
-            return _spmm_w(pad_d(x), w, *w_fwd_args)[:, : x.shape[1]]
+            return _w_fwd_op(x, w)
 
         def spmm_weighted_fwd(x, w):
             return spmm_weighted(x, w), (x, w)
 
         def spmm_weighted_bwd(res, dy):
             x, w = res
-            dx = _spmm_w_t(pad_d(dy), w, *w_bwd_args)[:, : x.shape[1]]
+            dx = _w_bwd_op(dy, w)
             dw = _sddmm(pad_d(dy), pad_d(x), *sddmm_args)
             return dx, dw
 
@@ -1285,9 +1332,8 @@ class DistributedTiledGraph:
             return sddmm(x), x
 
         def sddmm_bwd(x, de):
-            xp = pad_d(x)
-            d_rows = _spmm_w(xp, de, *w_fwd_args)[:, : x.shape[1]]
-            d_cols = _spmm_w_t(xp, de, *w_bwd_args)[:, : x.shape[1]]
+            d_rows = _w_fwd_op(x, de)
+            d_cols = _w_bwd_op(x, de)
             return (d_rows + d_cols,)
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)

@@ -105,7 +105,11 @@ class ShardedSGTMeta:
     #   "send_pos": [G, gcap] int32 (guest slot -> dest*qcap + lane;
     #                sentinel G*qcap = unused),
     #   "recv_row_idx": [G, G*qcap*blk_h] int32 (owner-local row of each
-    #                incoming partial row; sentinel rows_per_shard = pad)}
+    #                incoming partial row; sentinel rows_per_shard = pad),
+    #   "edge_pos": [G, Es] int32 (per real edge: flat cell position in the
+    #                COMPUTING shard's split tile space; sentinel Bs*tile),
+    #   "w_src":   [G, Es] int32 (matching slot into the all-gathered
+    #                forward edge vector; sentinel G*Emax_fwd)}
     split: Optional[dict] = None
 
     @property
@@ -228,8 +232,9 @@ def build_split(
     config: TileConfig,
     imbalance_gate: float = 1.3,
     tiles_per_shard: Optional[list] = None,
+    edge_capacity: Optional[int] = None,
 ) -> Optional[dict]:
-    """Mega-window block-stream split for the unweighted dense SpMM.
+    """Mega-window block-stream split for the dense SpMM (both flavours).
 
     After a bandwidth ordering, hub windows hold most of a power-law
     graph's blocks (amazon0601 at 512x128: two windows carry 87% of 7024
@@ -247,10 +252,16 @@ def build_split(
     that range keeps most of the slice's feature gathers local (the halo
     request set is augmented with whatever is left).
 
-    Per-edge layouts (edge_pos, chunks, the overlap classes) are untouched:
-    weighted SpMM / SDDMM keep the unsplit stream, since guest blocks would
-    need the owner's per-edge weights. GCN/GIN's hot path is unweighted in
-    both directions, which is exactly where the imbalance bites.
+    The split also carries per-edge maps (``edge_pos`` / ``w_src``) so the
+    *weighted* SpMM rides the same balanced stream: guest blocks need the
+    owner's per-edge scalars, and those are O(E) total — one ``all_gather``
+    of the sharded edge vector (the transpose direction already pays it for
+    forward-ordered weights) makes every edge weight visible everywhere,
+    after which the computing shard scatters ``w_all[w_src]`` at
+    ``edge_pos`` to build its split-stream weighted tiles on device.
+    Per-edge *outputs* (SDDMM scores) keep the unsplit stream: a score tile
+    has no reduction, so returning guest scores would move as many bytes as
+    the owner saved computing.
 
     Returns None when ``max shard load <= imbalance_gate * ideal`` (split
     not worth the exchange) — callers fall back to the plain dense path.
@@ -347,17 +358,29 @@ def build_split(
 
         tdt = np.float32 if config.compute_dtype == jnp.float32 else config.compute_dtype
 
+    # Per-owner block remap for the per-edge maps below: which shard
+    # computes each original block, and at which stream position.
+    blk_comp = [np.full(int(c.sum()), -1, np.int64) for c in win_counts]
+    blk_newpos = [np.full(int(c.sum()), -1, np.int64) for c in win_counts]
+
     a_tiles, col_ids, block_window, block_first = [], [], [], []
     send_pos = np.full((g, max(gcap, 1)), g * max(qcap, 1), np.int32)
     recv_row = np.full((g, g, max(qcap, 1)), rows_per_shard, np.int32)
     for c in range(g):
         keep_mask = ~exported[c]
+        kept_idx = np.flatnonzero(keep_mask)
+        blk_comp[c][kept_idx] = c
+        blk_newpos[c][kept_idx] = np.arange(len(kept_idx))
+        stream_off = len(kept_idx)
         t = [tiles_list[c][keep_mask].astype(tdt)]
         ci = [metas[c].col_ids.reshape(-1, blk_w)[keep_mask]]
         bw = [metas[c].block_window[keep_mask]]
         bf = [metas[c].block_first_in_window[keep_mask]]
         lane_used = np.zeros(g, np.int64)
         for j, (o, w, lo, hi) in enumerate(parts[c]):
+            blk_comp[o][lo:hi] = c
+            blk_newpos[o][lo:hi] = stream_off + np.arange(hi - lo)
+            stream_off += hi - lo
             t.append(tiles_list[o][lo:hi].astype(tdt))
             ci.append(metas[o].col_ids.reshape(-1, blk_w)[lo:hi])
             bw.append(np.full(hi - lo, wd + j, np.int32))
@@ -381,6 +404,40 @@ def build_split(
         block_first.append(np.concatenate(bf).astype(np.int32))
 
     bs = max(a.shape[0] for a in a_tiles)
+
+    # --- per-edge maps for the weighted split stream ------------------------
+    # For every real edge (owner o, local slot e): the flat position of its
+    # tile cell in the COMPUTING shard's split stream, and the edge's global
+    # padded-layout slot o*Emax+e (the index space of an all-gathered edge
+    # vector; the transpose partition remaps w_src to forward slots in
+    # partition_graph).  Sentinels: pos = bs*tile (scatter mode="drop"),
+    # src = g*Emax (gathers the appended zero).
+    tile = blk_h * blk_w
+    e_max = int(edge_capacity) if edge_capacity is not None else max(
+        max(m.num_edges for m in metas), 1
+    )
+    assert bs * tile < 2**31 and g * e_max < 2**31
+    pos_lists: list[list] = [[] for _ in range(g)]
+    src_lists: list[list] = [[] for _ in range(g)]
+    for o in range(g):
+        ep = metas[o].edge_pos.astype(np.int64)
+        b = ep // tile
+        comp = blk_comp[o][b]
+        newpos = blk_newpos[o][b] * tile + ep % tile
+        src = o * e_max + np.arange(len(ep), dtype=np.int64)
+        for c in range(g):
+            sel = comp == c
+            pos_lists[c].append(newpos[sel])
+            src_lists[c].append(src[sel])
+    pos_cat = [np.concatenate(p) for p in pos_lists]
+    src_cat = [np.concatenate(s) for s in src_lists]
+    es = max(1, max(len(p) for p in pos_cat))
+    edge_pos_split = np.full((g, es), bs * tile, np.int32)
+    w_src = np.full((g, es), g * e_max, np.int32)
+    for c in range(g):
+        edge_pos_split[c, : len(pos_cat[c])] = pos_cat[c].astype(np.int32)
+        w_src[c, : len(src_cat[c])] = src_cat[c].astype(np.int32)
+
     last = wd + max(gcap, 1) - 1
     split = {
         "a_tiles": np.stack([_pad_axis0(a, bs, 0) for a in a_tiles]),
@@ -392,6 +449,8 @@ def build_split(
         "guest_cap": gcap,
         "pair_cap": qcap,
         "send_pos": send_pos,
+        "edge_pos": edge_pos_split,
+        "w_src": w_src,
     }
     # Expanded per-row targets for the owner-side scatter-add:
     # incoming lane (src c, lane l) row r -> recv_row[o, c, l] + r.
@@ -672,7 +731,10 @@ def partition_csr(
         metas, local_cols_list, rows_per_shard, config, stacked.edge_capacity
     )
     split_host = (
-        build_split(metas, rows_per_shard, config, tiles_per_shard=tiles_per_shard)
+        build_split(
+            metas, rows_per_shard, config, tiles_per_shard=tiles_per_shard,
+            edge_capacity=stacked.edge_capacity,
+        )
         if split
         else None
     )
@@ -801,6 +863,20 @@ def partition_graph(
             )
             chunk_fwd_slot[s] = fwd_slot_of_global[t_src_ext[global_t]].astype(np.int32)
         bwd.chunk_fwd_slot = chunk_fwd_slot
+
+    # Transpose split stream: its w_src indexes the TRANSPOSE padded edge
+    # layout, but weights arrive forward-ordered — remap each t-slot through
+    # t_src to the forward padded slot so the split fn can gather from the
+    # same all-gathered forward edge vector in both directions.
+    if bwd.split is not None:
+        src = bwd.split["w_src"].astype(np.int64)
+        s_idx = np.minimum(src // e_max_t, G - 1)
+        global_t = np.where(
+            src >= G * e_max_t, len(t_src), bwd.edge_start[s_idx] + src % e_max_t
+        )
+        bwd.split["w_src"] = fwd_slot_of_global[t_src_ext[global_t]].astype(
+            np.int32
+        )
 
     # Dense-path variant: the same mapping per *edge* instead of per chunk
     # slot (feeds the weighted-tile scatter in the distributed backward).

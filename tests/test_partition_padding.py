@@ -253,3 +253,81 @@ def test_strict_interpret_split_spmm_per_shard():
             own[o, ridx[0] : ridx[0] + blk_h] += guests[s, j]
     got = own.reshape(-1, d)[:n]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_strict_interpret_split_weighted_spmm_per_shard():
+    """Weighted split stream: per-shard tiles rebuilt on host from the
+    edge_pos/w_src maps (mirroring the device scatter against the
+    all-gathered edge vector), run under the strict interpreter, exchanged,
+    and checked against the weighted spmm_ref."""
+    from tcgnn_tpu.ops.spmm import _spmm_dense_padded
+
+    rng = np.random.default_rng(1)
+    n, d = 400, 32
+    deg = rng.poisson(4, n).clip(0, n - 1)
+    deg[:16] = 160  # mega-window -> split engages
+    cols_l = [np.unique(rng.integers(0, n, dd)) for dd in deg]
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum([len(c) for c in cols_l], out=ptr[1:])
+    ptr = ptr.astype(np.int32)
+    cols = np.concatenate(cols_l).astype(np.int32)
+    fwd, _ = partition_graph(ptr, cols, n, 4, CFG, split=True)
+    sp = fwd.split
+    assert sp is not None and "w_src" in sp
+
+    w = rng.standard_normal(len(cols)).astype(np.float32)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x_full = np.zeros((fwd.padded_nodes, d), np.float32)
+    x_full[:n] = x
+    want = np.asarray(
+        spmm_ref(jnp.asarray(x), jnp.asarray(ptr), jnp.asarray(cols), jnp.asarray(w))
+    )
+
+    g, rows = fwd.num_shards, fwd.rows_per_shard
+    e_max = fwd.edge_capacity
+    # forward padded edge layout + trailing zero (the w_src sentinel target)
+    w_pad = np.zeros(g * e_max + 1, np.float32)
+    es = fwd.edge_start
+    for s in range(g):
+        w_pad[s * e_max : s * e_max + es[s + 1] - es[s]] = w[es[s] : es[s + 1]]
+
+    gcap, qcap = sp["guest_cap"], sp["pair_cap"]
+    blk_h, blk_w = CFG.blk_h, CFG.blk_w
+    wd = fwd.windows_per_shard
+    bs = sp["a_tiles"].shape[1]
+    own = np.zeros((g, rows, d), np.float32)
+    guests = np.zeros((g, max(gcap, 1), blk_h, d), np.float32)
+    for s in range(g):
+        tiles = np.zeros(bs * blk_h * blk_w + 1, np.float32)
+        np.add.at(
+            tiles, np.minimum(sp["edge_pos"][s], bs * blk_h * blk_w),
+            w_pad[sp["w_src"][s]],
+        )
+        tiles = tiles[:-1].reshape(bs, blk_h, blk_w)
+        # scatter-built tiles must structurally match the stacked int8 tiles
+        assert ((tiles != 0) <= (np.asarray(sp["a_tiles"][s]) != 0)).all()
+        out = np.asarray(
+            _spmm_dense_padded(
+                jnp.asarray(x_full),
+                jnp.asarray(tiles),
+                jnp.asarray(sp["col_ids_global"][s]),
+                jnp.asarray(sp["block_window"][s]),
+                jnp.asarray(sp["block_first"][s]),
+                cfg=CFG,
+                num_windows=wd + max(gcap, 1),
+                interpret=STRICT,
+            )
+        )[:, :d]
+        own[s] = out[:rows]
+        guests[s] = out[rows:].reshape(max(gcap, 1), blk_h, d)
+    for s in range(g):
+        for j in range(max(gcap, 1)):
+            pos = int(sp["send_pos"][s, j])
+            if pos >= g * qcap:
+                continue
+            o, lane = divmod(pos, qcap)
+            ridx = sp["recv_row_idx"][o].reshape(g, qcap, blk_h)[s, lane]
+            assert ridx[0] < rows
+            own[o, ridx[0] : ridx[0] + blk_h] += guests[s, j]
+    got = own.reshape(-1, d)[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

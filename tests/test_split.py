@@ -110,19 +110,82 @@ def test_split_train_step_decreases_loss(mesh42):
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
-def test_split_weighted_ops_keep_unsplit_stream(mesh42):
-    """spmm_weighted / sddmm still run (on the unsplit stream) when the
-    unweighted path is split."""
+def test_split_weighted_spmm_fwd_exact(mesh42):
+    """The weighted SpMM rides the split stream: tiles are rebuilt on the
+    computing shard from the all-gathered edge vector (edge_pos/w_src)."""
     n, d = 400, 16
     ptr, cols = mega_csr(n, symmetric=True, seed=4)
     dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
     assert dg.host_fwd.split is not None
-    x = np.random.default_rng(2).standard_normal((n, d)).astype(np.float32)
+    assert "w_src" in dg.host_fwd.split and "w_src" in dg.host_bwd.split
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    w = rng.standard_normal(dg.num_edges).astype(np.float32)
     xs = dg.shard_features(x)
-    e = jax.jit(dg.sddmm)(xs)
-    w = dg.edge_weights_to_sharded(np.ones(dg.num_edges, np.float32))
-    out = jax.jit(dg.spmm_weighted)(xs, w)
-    # weighted with all-ones == unweighted
-    want = np.asarray(spmm_ref(jnp.asarray(x), jnp.asarray(ptr), jnp.asarray(cols)))
+    ws = dg.edge_weights_to_sharded(w)
+    out = jax.jit(dg.spmm_weighted)(xs, ws)
+    want = np.asarray(
+        spmm_ref(jnp.asarray(x), jnp.asarray(ptr), jnp.asarray(cols), jnp.asarray(w))
+    )
     np.testing.assert_allclose(np.asarray(out)[:n, :d], want, rtol=1e-4, atol=1e-4)
-    assert np.isfinite(np.asarray(e)).all()
+    # sddmm (per-edge outputs, deliberately unsplit) still agrees
+    e = dg.gather_edge_vector(jax.jit(dg.sddmm)(xs))
+    rows = np.repeat(np.arange(n), np.diff(ptr))
+    np.testing.assert_allclose(
+        e, np.einsum("ed,ed->e", x[rows], x[cols]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_split_weighted_spmm_grads_exact(mesh42):
+    """Weighted-split gradients (dx rides the transpose split stream whose
+    w_src was remapped to forward slots; dw is the unsplit SDDMM)."""
+    n, d = 400, 16
+    ptr, cols = mega_csr(n, symmetric=True, seed=5)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
+    assert dg.host_fwd.split is not None and dg.host_bwd.split is not None
+    sg = TiledGraph(ptr, cols, n, CFG)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    w = rng.standard_normal(dg.num_edges).astype(np.float32)
+    xs = dg.shard_features(x)
+    ws = dg.edge_weights_to_sharded(w)
+
+    def loss_d(xx, ww):
+        return jnp.sum(jnp.cos(dg.spmm_weighted(xx, ww)[:n, :d]))
+
+    def loss_s(xx, ww):
+        return jnp.sum(jnp.cos(sg.spmm_weighted(xx, ww)))
+
+    gd_x, gd_w = jax.jit(jax.grad(loss_d, argnums=(0, 1)))(xs, ws)
+    gs_x, gs_w = jax.grad(loss_s, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gd_x)[:n, :d], gs_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        dg.gather_edge_vector(gd_w), gs_w, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_split_weighted_spmm_directed(mesh42):
+    """Directed mega graph: fwd and transpose partitions split independently
+    (possibly only one side engages); weighted fwd + dx stay exact."""
+    n, d = 400, 16
+    ptr, cols = mega_csr(n, seed=7)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
+    assert dg.host_fwd.split is not None
+    sg = TiledGraph(ptr, cols, n, CFG)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    w = rng.standard_normal(dg.num_edges).astype(np.float32)
+    xs = dg.shard_features(x)
+    ws = dg.edge_weights_to_sharded(w)
+    out = jax.jit(dg.spmm_weighted)(xs, ws)
+    want = np.asarray(
+        spmm_ref(jnp.asarray(x), jnp.asarray(ptr), jnp.asarray(cols), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(np.asarray(out)[:n, :d], want, rtol=1e-4, atol=1e-4)
+    gd = jax.jit(jax.grad(lambda xx: jnp.sum(dg.spmm_weighted(xx, ws) ** 2)))(xs)
+    gs = jax.grad(lambda xx: jnp.sum(sg.spmm_weighted(xx, jnp.asarray(w)) ** 2))(
+        jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(gd)[:n, :d], np.asarray(gs), rtol=1e-3, atol=1e-3
+    )
