@@ -37,7 +37,10 @@ The reference framework is single-GPU with no distributed layer at all
   small all_to_all of partial [blk_h, d] tiles returns them to their
   owners.  Both SpMM flavours ride the split stream: the weighted one
   rebuilds its tiles on the computing shard from an all-gathered edge
-  vector via the per-edge ``edge_pos``/``w_src`` maps.  Per-edge outputs
+  vector via the per-edge ``edge_pos``/``w_src`` maps.  The fused
+  tile-space AGNN rides it too — guest score tiles need the owner's
+  window rows on their xa side, which the halo delivers through the
+  ``xa_idx_ext`` slots requested at partition time.  Per-edge outputs
   (SDDMM) keep the unsplit stream — score tiles have no reduction, so a
   guest exchange would move as many bytes as it saves.
 
@@ -181,7 +184,8 @@ _OVERLAP_KEYS = (
 # weighted tiles from an all-gathered forward edge vector.
 _SPLIT_FIELDS = (
     "a_tiles", "col_ids_ext", "block_window", "block_first",
-    "send_pos", "recv_row_idx", "edge_pos", "w_src", "send_idx",
+    "send_pos", "recv_row_idx", "edge_pos", "w_src", "xa_idx_ext",
+    "send_idx",
 )
 
 
@@ -215,7 +219,8 @@ def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> di
         out["split"] = tuple(
             jax.device_put(jnp.asarray(sp[k]), sh)
             for k in ("a_tiles", "col_ids_ext", "block_window", "block_first",
-                      "send_pos", "recv_row_idx", "edge_pos", "w_src")
+                      "send_pos", "recv_row_idx", "edge_pos", "w_src",
+                      "xa_idx_ext")
         )
     return out
 
@@ -303,6 +308,7 @@ class DistributedTiledGraph:
         fwd, bwd = partition_graph(
             row_pointers, column_index, self.num_nodes, self.pg, config,
             build_tiles=not self.block_diag, split=want_split,
+            split_fused=want_split and self.symmetric,
         )
         assert fwd.rows_per_shard == rows_per_shard, (
             fwd.rows_per_shard, rows_per_shard,
@@ -347,6 +353,7 @@ class DistributedTiledGraph:
 
         self._node_sh = NamedSharding(mesh, P("graph", "feature"))
         self._edge_sh = NamedSharding(mesh, P("graph"))
+        self._ag_split = False  # set by _build_ops on fused-split graphs
         self._build_ops()
 
     # --- statistics (reference's preprocess printout, TCGNN.cpp:225) -------
@@ -643,7 +650,125 @@ class DistributedTiledGraph:
 
         # ---- fused tile-space AGNN (symmetric graphs; see TiledGraph) ------
         self._agnn_fwd_sm = self._agnn_bwd_sm = None
-        if self.dense_tiles and self.symmetric:
+        self._ag_split = False
+        spf = self.host_fwd.split
+        if (
+            self.dense_tiles and self.symmetric
+            and spf is not None and spf.get("fused", False)
+        ):
+            # Fused AGNN over the SPLIT stream: guest score tiles need the
+            # OWNER's window rows on their xa side — those ride the halo
+            # (xa_idx_ext slots, added to the request set at partition
+            # time), so s/t tiles, the fused weighted sums, and the
+            # column-space gradient all run on the balanced stream; guest
+            # output tiles return through the same partial-tile all_to_all.
+            self._ag_split = True
+            ag_gcap, ag_qcap = int(spf["guest_cap"]), int(spf["pair_cap"])
+            ag_rows = wd * blk_h
+            ag_nw = wd + ag_gcap
+
+            def xa_stream(a_loc, a_ext, m):
+                return jnp.concatenate(
+                    [a_loc, a_ext[m["xa_idx_ext"][0]]], axis=0
+                )
+
+            def s_tiles_split(a_loc, a_ext, x_ext, m):
+                s = _sddmm_dense_padded(
+                    xa_stream(a_loc, a_ext, m), x_ext, m["col_ids_ext"][0],
+                    m["block_window"][0], cfg=cfg, num_windows=ag_nw,
+                    interpret=interpret, out_dtype=cfg.compute_dtype,
+                )
+                if pf > 1:
+                    s = jax.lax.psum(
+                        s.astype(jnp.float32), "feature"
+                    ).astype(s.dtype)
+                return s
+
+            def fused_split(x_src, s, m):
+                return _spmm_fused_padded(
+                    x_src, m["a_tiles"][0], s, m["col_ids_ext"][0],
+                    m["block_window"][0], m["block_first"][0],
+                    cfg=cfg, num_windows=ag_nw, interpret=interpret,
+                )
+
+            def ag_guest_return(out, m, d):
+                own = out[:ag_rows, :d]
+                guests = out[ag_rows : ag_rows + ag_gcap * blk_h, :d].reshape(
+                    ag_gcap, blk_h, d
+                )
+                send = (
+                    jnp.zeros((pg * ag_qcap, blk_h, d), own.dtype)
+                    .at[m["send_pos"][0]].set(guests, mode="drop")
+                )
+                recv = jax.lax.all_to_all(
+                    send.reshape(pg, ag_qcap * blk_h, d), "graph",
+                    split_axis=0, concat_axis=0, tiled=True,
+                )
+                return own.at[m["recv_row_idx"][0]].add(
+                    recv.reshape(pg * ag_qcap * blk_h, d), mode="drop"
+                )
+
+            def local_agnn_fwd(x_loc, *meta):
+                m = dict(zip(_SPLIT_FIELDS, meta))
+                x_ext = halo_exchange(x_loc, m["send_idx"])
+                s = s_tiles_split(x_loc, x_ext, x_ext, m)
+                return ag_guest_return(
+                    fused_split(x_ext, s, m), m, x_loc.shape[1]
+                )
+
+            def local_agnn_bwd(x_loc, dy_loc, *meta):
+                m = dict(zip(_SPLIT_FIELDS, meta))
+                d = x_loc.shape[1]
+                x_ext = halo_exchange(x_loc, m["send_idx"])
+                dy_ext = halo_exchange(dy_loc, m["send_idx"])
+                s = s_tiles_split(x_loc, x_ext, x_ext, m)   # e tiles
+                t = s_tiles_split(dy_loc, dy_ext, x_ext, m)  # <dy_i, x_j>
+                # t1 + t2a share the stream: sum the partial tiles BEFORE
+                # the guest exchange (float add is order-invariant).
+                y12 = fused_split(dy_ext, s, m) + fused_split(x_ext, t, m)
+                t12 = ag_guest_return(y12, m, d)
+                # column-space term: guest contributions scatter into this
+                # shard's extended slab (guest block columns are all in its
+                # halo request set) and ride the reverse exchange home.
+                ycol = _spmm_colspace_padded(
+                    xa_stream(x_loc, x_ext, m), m["a_tiles"][0], t,
+                    m["block_window"][0], cfg=cfg, num_windows=ag_nw,
+                    interpret=interpret,
+                )[:, :d]
+                scat = (
+                    jnp.zeros((ag_rows + pg * halo_cap, d), jnp.float32)
+                    .at[m["col_ids_ext"][0]]
+                    .add(ycol)
+                )
+                t2b = halo_reverse_add(scat, m["send_idx"])
+                # dc = <dy, (A*S)x>: every partial output tile is attributed
+                # exactly once — own head blocks against dy_loc, guest tiles
+                # against the owner's dy rows (in dy_ext via xa_idx_ext).
+                u = fused_split(x_ext, s, m)
+                dy_g = dy_ext[m["xa_idx_ext"][0]]
+                dc = jnp.vdot(
+                    dy_loc.astype(jnp.float32), u[:ag_rows, :d]
+                ) + jnp.vdot(
+                    dy_g.astype(jnp.float32),
+                    u[ag_rows : ag_rows + ag_gcap * blk_h, :d],
+                )
+                dc = jax.lax.psum(dc, "graph")
+                if pf > 1:
+                    dc = jax.lax.psum(dc, "feature")
+                return t12 + t2b, dc
+
+            ag_specs = tuple(P("graph") for _ in _SPLIT_FIELDS)
+            self._agnn_fwd_sm = self._shardmap(
+                local_agnn_fwd,
+                in_specs=(node_spec,) + ag_specs,
+                out_specs=node_spec,
+            )
+            self._agnn_bwd_sm = self._shardmap(
+                local_agnn_bwd,
+                in_specs=(node_spec, node_spec) + ag_specs,
+                out_specs=(node_spec, P()),
+            )
+        elif self.dense_tiles and self.symmetric:
             AG_FIELDS = (
                 "a_tiles", "col_ids_ext", "block_window",
                 "block_first_in_window", "send_idx",
@@ -873,7 +998,11 @@ class DistributedTiledGraph:
             + (self._bwd[slot_key],)
             if use_overlap
             else None,
-            tuple(self._fwd[k] for k in self._ag_fields)
+            (
+                self._fwd["split"] + (self._fwd["send_idx"],)
+                if self._ag_split
+                else tuple(self._fwd[k] for k in self._ag_fields)
+            )
             if self._agnn_fwd_sm is not None
             else None,
             self._fwd["split"] + (self._fwd["send_idx"],)

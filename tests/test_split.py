@@ -164,6 +164,69 @@ def test_split_weighted_spmm_grads_exact(mesh42):
     )
 
 
+def test_split_fused_agnn_fwd_and_grads_exact(mesh42):
+    """Fused tile-space AGNN over the split stream (symmetric hub graph):
+    guest score tiles use the owner's window rows from the halo; fwd and
+    both grads (dx, d attention) must match the single-device fused op."""
+    n, d = 400, 16
+    ptr, cols = mega_csr(n, symmetric=True, seed=11)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
+    sp = dg.host_fwd.split
+    assert sp is not None and sp["fused"] and dg._ag_split
+    assert dg.agnn_aggregate is not None
+    sg = TiledGraph(ptr, cols, n, CFG)
+    assert sg.agnn_aggregate is not None
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    att = rng.standard_normal((1, 2)).astype(np.float32)
+    xs = dg.shard_features(x)
+
+    out_d = jax.jit(dg.agnn_aggregate)(xs, jnp.asarray(att))
+    out_s = np.asarray(sg.agnn_aggregate(jnp.asarray(x), jnp.asarray(att)))
+    np.testing.assert_allclose(
+        np.asarray(out_d)[:n, :d], out_s, rtol=1e-4, atol=1e-4
+    )
+
+    def loss_d(xx, aa):
+        return jnp.sum(jnp.sin(dg.agnn_aggregate(xx, aa)[:n, :d]))
+
+    def loss_s(xx, aa):
+        return jnp.sum(jnp.sin(sg.agnn_aggregate(xx, aa)))
+
+    gd_x, gd_a = jax.jit(jax.grad(loss_d, argnums=(0, 1)))(xs, jnp.asarray(att))
+    gs_x, gs_a = jax.grad(loss_s, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(att))
+    np.testing.assert_allclose(
+        np.asarray(gd_x)[:n, :d], np.asarray(gs_x), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gd_a), np.asarray(gs_a), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_split_agnn_train_step_decreases_loss(mesh42):
+    n = 400
+    ptr, cols = mega_csr(n, symmetric=True, seed=14)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
+    assert dg._ag_split
+    rng = np.random.default_rng(0)
+    x = dg.shard_features(rng.standard_normal((n, 32)).astype(np.float32))
+    y = dg.shard_nodes(rng.integers(0, 5, n).astype(np.int32))
+    params, _, _ = init_distributed_net(
+        jax.random.PRNGKey(0), "agnn", x.shape[1], 16, 5, 2, dg
+    )
+    opt = optax.adam(0.01)
+    st = opt.init(params)
+    step = make_distributed_train_step(
+        dg, "agnn", x, y, opt, 0.0, num_valid_classes=5
+    )
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(5):
+        params, st, key, loss = step(params, st, key)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
 def test_split_weighted_spmm_directed(mesh42):
     """Directed mega graph: fwd and transpose partitions split independently
     (possibly only one side engages); weighted fwd + dx stay exact."""
