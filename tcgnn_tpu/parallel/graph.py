@@ -39,8 +39,9 @@ The reference framework is single-GPU with no distributed layer at all
   rebuilds its tiles on the computing shard from an all-gathered edge
   vector via the per-edge ``edge_pos``/``w_src`` maps.  The fused
   tile-space AGNN rides it too — guest score tiles need the owner's
-  window rows on their xa side, which the halo delivers through the
-  ``xa_idx_ext`` slots requested at partition time.  Per-edge outputs
+  window rows on their xa side, delivered by one dedicated all_to_all
+  driven by the same send_pos/recv_row_idx metadata (``xa_fetch``), so
+  the shared halo capacity is untouched.  Per-edge outputs
   (SDDMM) keep the unsplit stream — score tiles have no reduction, so a
   guest exchange would move as many bytes as it saves.
 
@@ -184,7 +185,7 @@ _OVERLAP_KEYS = (
 # weighted tiles from an all-gathered forward edge vector.
 _SPLIT_FIELDS = (
     "a_tiles", "col_ids_ext", "block_window", "block_first",
-    "send_pos", "recv_row_idx", "edge_pos", "w_src", "xa_idx_ext",
+    "send_pos", "recv_row_idx", "edge_pos", "w_src", "xa_fetch",
     "send_idx",
 )
 
@@ -216,11 +217,9 @@ def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> di
         )
     if meta.split is not None:
         sp = meta.split
+        # everything but send_idx, which _device_arrays appends last
         out["split"] = tuple(
-            jax.device_put(jnp.asarray(sp[k]), sh)
-            for k in ("a_tiles", "col_ids_ext", "block_window", "block_first",
-                      "send_pos", "recv_row_idx", "edge_pos", "w_src",
-                      "xa_idx_ext")
+            jax.device_put(jnp.asarray(sp[k]), sh) for k in _SPLIT_FIELDS[:-1]
         )
     return out
 
@@ -308,7 +307,6 @@ class DistributedTiledGraph:
         fwd, bwd = partition_graph(
             row_pointers, column_index, self.num_nodes, self.pg, config,
             build_tiles=not self.block_diag, split=want_split,
-            split_fused=want_split and self.symmetric,
         )
         assert fwd.rows_per_shard == rows_per_shard, (
             fwd.rows_per_shard, rows_per_shard,
@@ -525,19 +523,55 @@ class DistributedTiledGraph:
                 back.reshape(pg * h, y_ext.shape[1])
             )
 
+        def _w_all_ext(w_loc):
+            """All-gathered forward edge vector + appended zero — the shared
+            sentinel target (index G*Emax gathers 0).  Per-edge scalars are
+            O(E) total, small next to features."""
+            w_all = jax.lax.all_gather(w_loc, "graph", axis=0, tiled=True)
+            return jnp.concatenate([w_all, jnp.zeros((1,), w_all.dtype)])
+
+        def _scatter_w_tiles(vals, edge_pos, n_blocks):
+            """Per-edge f32 scalars -> weighted tiles; out-of-range positions
+            (class/padding sentinels) drop."""
+            return (
+                jnp.zeros((n_blocks * blk_h * blk_w,), jnp.float32)
+                .at[edge_pos].add(vals, mode="drop")
+                .reshape(n_blocks, blk_h, blk_w)
+            )
+
+        def _make_guest_return(gcap, qcap):
+            """The split stream's partial-tile return: guest output windows
+            ride one all_to_all (send_pos lanes) and scatter-add into the
+            owners' rows (recv_row_idx) — order-invariant float sums."""
+            rows = wd * blk_h
+
+            def guest_return(out, m, d):
+                own = out[:rows, :d]
+                guests = out[rows : rows + gcap * blk_h, :d].reshape(
+                    gcap, blk_h, d
+                )
+                send = (
+                    jnp.zeros((pg * qcap, blk_h, d), own.dtype)
+                    .at[m["send_pos"][0]].set(guests, mode="drop")
+                )
+                recv = jax.lax.all_to_all(
+                    send.reshape(pg, qcap * blk_h, d), "graph",
+                    split_axis=0, concat_axis=0, tiled=True,
+                )
+                return own.at[m["recv_row_idx"][0]].add(
+                    recv.reshape(pg * qcap * blk_h, d), mode="drop"
+                )
+
+            return guest_return
+
         def local_spmm_dense(x_loc, w_loc, *meta, weighted, use_fwd_slot):
             names = _DENSE_FIELDS + (("edge_fwd_slot",) if use_fwd_slot else ())
             m = dict(zip(names, meta))
             x_ext = halo_exchange(x_loc, m["send_idx"])
-            b_max = m["a_tiles"].shape[1]
             if weighted:
-                size = b_max * blk_h * blk_w
                 vals = _overlap_edge_vals(m, w_loc, use_fwd_slot)
-                tiles = (
-                    jnp.zeros((size,), jnp.float32)
-                    .at[m["edge_pos"][0]]
-                    .add(vals)
-                    .reshape(b_max, blk_h, blk_w)
+                tiles = _scatter_w_tiles(
+                    vals, m["edge_pos"][0], m["a_tiles"].shape[1]
                 )
             else:
                 tiles = m["a_tiles"][0]
@@ -592,11 +626,10 @@ class DistributedTiledGraph:
             """Per-edge weight scalars in this shard's layout (f32)."""
             if use_fwd_slot:
                 # Forward-ordered weights: gather all shards' slabs, then
-                # index through the per-t-edge slot table.  (Per-edge
-                # scalars — O(E) total, small next to features.)
-                w_all = jax.lax.all_gather(w_loc, "graph", axis=0, tiled=True)
-                w_ext = jnp.concatenate([w_all, jnp.zeros((1,), w_all.dtype)])
-                return w_ext[m["edge_fwd_slot"][0]].astype(jnp.float32)
+                # index through the per-t-edge slot table.
+                return _w_all_ext(w_loc)[m["edge_fwd_slot"][0]].astype(
+                    jnp.float32
+                )
             return jnp.where(m["edge_valid"][0], w_loc, 0.0).astype(jnp.float32)
 
         def local_spmm_overlap(x_loc, w_loc, *meta, weighted, use_fwd_slot):
@@ -608,12 +641,8 @@ class DistributedTiledGraph:
             def one(cls, x_src):
                 a = m[cls + "a_tiles"][0]
                 if weighted:
-                    nb = a.shape[0]
-                    tiles = (
-                        jnp.zeros((nb * blk_h * blk_w,), jnp.float32)
-                        .at[m[cls + "edge_pos"][0]]
-                        .add(vals, mode="drop")
-                        .reshape(nb, blk_h, blk_w)
+                    tiles = _scatter_w_tiles(
+                        vals, m[cls + "edge_pos"][0], a.shape[0]
                     )
                 else:
                     tiles = a
@@ -654,27 +683,40 @@ class DistributedTiledGraph:
         spf = self.host_fwd.split
         if (
             self.dense_tiles and self.symmetric
-            and spf is not None and spf.get("fused", False)
+            and spf is not None
         ):
-            # Fused AGNN over the SPLIT stream: guest score tiles need the
-            # OWNER's window rows on their xa side — those ride the halo
-            # (xa_idx_ext slots, added to the request set at partition
-            # time), so s/t tiles, the fused weighted sums, and the
-            # column-space gradient all run on the balanced stream; guest
-            # output tiles return through the same partial-tile all_to_all.
+            # Fused AGNN over the SPLIT stream.  Guest score tiles need the
+            # OWNER's window rows on their xa side — exactly the rows
+            # recv_row_idx describes — so they arrive by one dedicated
+            # all_to_all (owners send x[recv_row_idx]; guests pick their
+            # slots via xa_fetch).  This keeps the shared halo capacity
+            # untouched: GCN/GIN pay nothing for AGNN's extra rows.  s/t
+            # tiles, the fused weighted sums, and the column-space gradient
+            # all run on the balanced stream; guest output tiles return
+            # through the same partial-tile all_to_all as the SpMMs.
             self._ag_split = True
             ag_gcap, ag_qcap = int(spf["guest_cap"]), int(spf["pair_cap"])
             ag_rows = wd * blk_h
             ag_nw = wd + ag_gcap
+            ag_guest_return = _make_guest_return(ag_gcap, ag_qcap)
 
-            def xa_stream(a_loc, a_ext, m):
-                return jnp.concatenate(
-                    [a_loc, a_ext[m["xa_idx_ext"][0]]], axis=0
+            def xa_guest_rows(a_loc, m):
+                """Owner-window rows for this shard's guest slots."""
+                send = jnp.take(
+                    a_loc, m["recv_row_idx"][0], axis=0, fill_value=0
+                )
+                recv = jax.lax.all_to_all(
+                    send.reshape(pg, ag_qcap * blk_h, a_loc.shape[1]),
+                    "graph", split_axis=0, concat_axis=0, tiled=True,
+                )
+                return jnp.take(
+                    recv.reshape(pg * ag_qcap * blk_h, a_loc.shape[1]),
+                    m["xa_fetch"][0], axis=0, fill_value=0,
                 )
 
-            def s_tiles_split(a_loc, a_ext, x_ext, m):
+            def s_tiles_split(xa_str, x_ext, m):
                 s = _sddmm_dense_padded(
-                    xa_stream(a_loc, a_ext, m), x_ext, m["col_ids_ext"][0],
+                    xa_str, x_ext, m["col_ids_ext"][0],
                     m["block_window"][0], cfg=cfg, num_windows=ag_nw,
                     interpret=interpret, out_dtype=cfg.compute_dtype,
                 )
@@ -691,27 +733,11 @@ class DistributedTiledGraph:
                     cfg=cfg, num_windows=ag_nw, interpret=interpret,
                 )
 
-            def ag_guest_return(out, m, d):
-                own = out[:ag_rows, :d]
-                guests = out[ag_rows : ag_rows + ag_gcap * blk_h, :d].reshape(
-                    ag_gcap, blk_h, d
-                )
-                send = (
-                    jnp.zeros((pg * ag_qcap, blk_h, d), own.dtype)
-                    .at[m["send_pos"][0]].set(guests, mode="drop")
-                )
-                recv = jax.lax.all_to_all(
-                    send.reshape(pg, ag_qcap * blk_h, d), "graph",
-                    split_axis=0, concat_axis=0, tiled=True,
-                )
-                return own.at[m["recv_row_idx"][0]].add(
-                    recv.reshape(pg * ag_qcap * blk_h, d), mode="drop"
-                )
-
             def local_agnn_fwd(x_loc, *meta):
                 m = dict(zip(_SPLIT_FIELDS, meta))
                 x_ext = halo_exchange(x_loc, m["send_idx"])
-                s = s_tiles_split(x_loc, x_ext, x_ext, m)
+                x_str = jnp.concatenate([x_loc, xa_guest_rows(x_loc, m)])
+                s = s_tiles_split(x_str, x_ext, m)
                 return ag_guest_return(
                     fused_split(x_ext, s, m), m, x_loc.shape[1]
                 )
@@ -721,8 +747,11 @@ class DistributedTiledGraph:
                 d = x_loc.shape[1]
                 x_ext = halo_exchange(x_loc, m["send_idx"])
                 dy_ext = halo_exchange(dy_loc, m["send_idx"])
-                s = s_tiles_split(x_loc, x_ext, x_ext, m)   # e tiles
-                t = s_tiles_split(dy_loc, dy_ext, x_ext, m)  # <dy_i, x_j>
+                x_str = jnp.concatenate([x_loc, xa_guest_rows(x_loc, m)])
+                dy_g = xa_guest_rows(dy_loc, m)
+                dy_str = jnp.concatenate([dy_loc, dy_g])
+                s = s_tiles_split(x_str, x_ext, m)    # e tiles
+                t = s_tiles_split(dy_str, x_ext, m)   # <dy_i, x_j> tiles
                 # t1 + t2a share the stream: sum the partial tiles BEFORE
                 # the guest exchange (float add is order-invariant).
                 y12 = fused_split(dy_ext, s, m) + fused_split(x_ext, t, m)
@@ -731,7 +760,7 @@ class DistributedTiledGraph:
                 # shard's extended slab (guest block columns are all in its
                 # halo request set) and ride the reverse exchange home.
                 ycol = _spmm_colspace_padded(
-                    xa_stream(x_loc, x_ext, m), m["a_tiles"][0], t,
+                    x_str, m["a_tiles"][0], t,
                     m["block_window"][0], cfg=cfg, num_windows=ag_nw,
                     interpret=interpret,
                 )[:, :d]
@@ -743,9 +772,8 @@ class DistributedTiledGraph:
                 t2b = halo_reverse_add(scat, m["send_idx"])
                 # dc = <dy, (A*S)x>: every partial output tile is attributed
                 # exactly once — own head blocks against dy_loc, guest tiles
-                # against the owner's dy rows (in dy_ext via xa_idx_ext).
+                # against the owner's dy rows (already fetched as dy_g).
                 u = fused_split(x_ext, s, m)
-                dy_g = dy_ext[m["xa_idx_ext"][0]]
                 dc = jnp.vdot(
                     dy_loc.astype(jnp.float32), u[:ag_rows, :d]
                 ) + jnp.vdot(

@@ -109,7 +109,10 @@ class ShardedSGTMeta:
     #   "edge_pos": [G, Es] int32 (per real edge: flat cell position in the
     #                COMPUTING shard's split tile space; sentinel Bs*tile),
     #   "w_src":   [G, Es] int32 (matching slot into the all-gathered
-    #                forward edge vector; sentinel G*Emax_fwd)}
+    #                forward edge vector; sentinel G*Emax_fwd),
+    #   "xa_fetch": [G, gcap*blk_h] int32 (guest slot row -> position in the
+    #                owner-window-row all_to_all stack [G*qcap*blk_h];
+    #                sentinel slots gather out of bounds -> zero)}
     split: Optional[dict] = None
 
     @property
@@ -259,9 +262,9 @@ def build_split(
     forward-ordered weights) makes every edge weight visible everywhere,
     after which the computing shard scatters ``w_all[w_src]`` at
     ``edge_pos`` to build its split-stream weighted tiles on device.
-    The fused tile-space AGNN rides the split as well (``xa_rows_global``
-    lists each guest slot's owner-window rows; with ``split_fused`` they
-    join the halo request set so guests can form score tiles locally).
+    The fused tile-space AGNN rides the split as well: each guest slot's
+    xa rows (the owner's window rows) arrive by one dedicated all_to_all
+    driven by the same send_pos/recv_row_idx metadata (``xa_fetch`` below).
     Per-edge *outputs* (SDDMM scores) keep the unsplit stream: a score tile
     has no reduction, so returning guest scores would move as many bytes as
     the owner saved computing.
@@ -419,7 +422,11 @@ def build_split(
     e_max = int(edge_capacity) if edge_capacity is not None else max(
         max(m.num_edges for m in metas), 1
     )
-    assert bs * tile < 2**31 and g * e_max < 2**31
+    if bs * tile >= 2**31 or g * e_max >= 2**31:
+        # The per-edge maps are int32; past this scale the dense path is
+        # disabled anyway (per-shard dense index space / edge_fwd_slot are
+        # int32 too) and the caller falls back to the chunk kernels.
+        return None
     pos_lists: list[list] = [[] for _ in range(g)]
     src_lists: list[list] = [[] for _ in range(g)]
     for o in range(g):
@@ -455,20 +462,18 @@ def build_split(
         "edge_pos": edge_pos_split,
         "w_src": w_src,
     }
-    # Owner-window row ids per guest slot (global).  The fused AGNN path
-    # needs the xa side of a guest block's score tiles — the OWNER's window
-    # rows — so these are added to the halo request set when the caller
-    # wants the fused split (partition_csr split_fused).  Padded slots point
-    # at the shard's own first row (remaps to local slot 0; their tiles are
-    # zero so the rows never contribute).
-    xa_rows = np.zeros((g, max(gcap, 1) * blk_h), np.int64)
-    for c in range(g):
-        xa_rows[c, :] = c * rows_per_shard
-        for j, (o, w, lo, hi) in enumerate(parts[c]):
-            xa_rows[c, j * blk_h : (j + 1) * blk_h] = (
-                o * rows_per_shard + w * blk_h + np.arange(blk_h)
-            )
-    split["xa_rows_global"] = xa_rows
+    # The fused AGNN needs the xa side of a guest block's score tiles — the
+    # OWNER's window rows.  Those are exactly the rows ``recv_row_idx``
+    # describes, so the op fetches them with one dedicated all_to_all: each
+    # owner sends x[recv_row_idx] (the window rows every (dest, lane) pair
+    # wants), and guest slot j reads its blk_h rows at ``send_pos[j]*blk_h``
+    # in the received [G*qcap*blk_h] stack.  ``xa_fetch`` is that gather
+    # index; sentinel slots (send_pos = G*qcap) land out of bounds and
+    # gather zeros — their tiles are zero so the rows never contribute.
+    split["xa_fetch"] = (
+        send_pos[:, :, None].astype(np.int64) * blk_h
+        + np.arange(blk_h, dtype=np.int64)
+    ).reshape(g, -1).astype(np.int32)
     # Expanded per-row targets for the owner-side scatter-add:
     # incoming lane (src c, lane l) row r -> recv_row[o, c, l] + r.
     rr = recv_row[:, :, :, None] + np.arange(blk_h, dtype=np.int32)
@@ -580,7 +585,6 @@ def build_halo(
     rows_per_shard: int,
     extra_cols_list: Optional[list] = None,
     split_col_ids: Optional[np.ndarray] = None,
-    split_xa_rows: Optional[np.ndarray] = None,
 ) -> dict:
     """Boundary-only halo structures for the distributed ops.
 
@@ -657,16 +661,12 @@ def build_halo(
     sp_ext = None
     if split_col_ids is not None:
         sp_ext = np.stack([remaps[s](split_col_ids[s]) for s in range(G)])
-    sxa_ext = None
-    if split_xa_rows is not None:
-        sxa_ext = np.stack([remaps[s](split_xa_rows[s]) for s in range(G)])
     return {
         "capacity": H,
         "send_idx": send_idx,
         "col_ids_ext": col_ids_ext,
         "overlap_remote_col_ids_ext": ov_ext,
         "split_col_ids_ext": sp_ext,
-        "split_xa_idx_ext": sxa_ext,
     }
 
 
@@ -679,13 +679,8 @@ def partition_csr(
     edge_capacity: Optional[int] = None,
     build_tiles: bool = True,
     split: bool = False,
-    split_fused: bool = False,
 ) -> ShardedSGTMeta:
     """Window-aligned 1-D partition of a CSR adjacency over ``num_shards``.
-
-    ``split_fused`` additionally requests owner-window rows through the halo
-    so the fused tile-space AGNN can run on the split stream (guest score
-    tiles need the owner's xa rows); only meaningful with ``split=True``.
 
     Each shard's rows are tiled independently with the standard SGT pass —
     identical math to the single-device tiling because windows never cross
@@ -765,7 +760,6 @@ def partition_csr(
         if split
         else None
     )
-    want_fused = split_host is not None and split_fused
     stacked.halo = build_halo(
         local_cols_list,
         stacked.col_ids,
@@ -773,35 +767,20 @@ def partition_csr(
         num_shards,
         rows_per_shard,
         extra_cols_list=(
-            [
-                np.concatenate(
-                    [split_host["col_ids"][s]]
-                    + ([split_host["xa_rows_global"][s]] if want_fused else [])
-                )
-                for s in range(num_shards)
-            ]
+            [split_host["col_ids"][s] for s in range(num_shards)]
             if split_host is not None
             else None
         ),
         split_col_ids=split_host["col_ids"] if split_host is not None else None,
-        split_xa_rows=split_host["xa_rows_global"] if want_fused else None,
     )
     if split_host is not None:
         split_host["col_ids_ext"] = stacked.halo.pop("split_col_ids_ext")
-        sxa = stacked.halo.pop("split_xa_idx_ext")
-        split_host["fused"] = want_fused
-        split_host["xa_idx_ext"] = (
-            sxa
-            if sxa is not None
-            else np.zeros(split_host["xa_rows_global"].shape, np.int32)
-        )
         # keep the global-id view (host only; tests run per-shard kernels
         # against the full slab under the strict TPU interpreter)
         split_host["col_ids_global"] = split_host.pop("col_ids")
         stacked.split = split_host
     else:
         stacked.halo.pop("split_col_ids_ext", None)
-        stacked.halo.pop("split_xa_idx_ext", None)
     return stacked
 
 
@@ -862,7 +841,6 @@ def partition_graph(
     symmetric: bool = False,
     build_tiles: bool = True,
     split: bool = False,
-    split_fused: bool = False,
 ) -> tuple[ShardedSGTMeta, ShardedSGTMeta]:
     """Forward + transpose sharded metadata for distributed training.
 
@@ -872,11 +850,9 @@ def partition_graph(
     transpose keeps gradients exact on directed graphs where the reference
     silently assumes symmetry (``TCGNN.cpp:270``).
     """
-    # split_fused only matters on the forward partition: the fused AGNN
-    # reads fwd metadata exclusively (it requires a symmetric graph).
     fwd = partition_csr(
         row_pointers, column_index, num_nodes, num_shards, config,
-        build_tiles=build_tiles, split=split, split_fused=split_fused,
+        build_tiles=build_tiles, split=split,
     )
 
     t_ptr, t_idx, t_src = transpose_csr(

@@ -172,7 +172,7 @@ def test_split_fused_agnn_fwd_and_grads_exact(mesh42):
     ptr, cols = mega_csr(n, symmetric=True, seed=11)
     dg = DistributedTiledGraph(ptr, cols, n, mesh42, CFG)
     sp = dg.host_fwd.split
-    assert sp is not None and sp["fused"] and dg._ag_split
+    assert sp is not None and "xa_fetch" in sp and dg._ag_split
     assert dg.agnn_aggregate is not None
     sg = TiledGraph(ptr, cols, n, CFG)
     assert sg.agnn_aggregate is not None
