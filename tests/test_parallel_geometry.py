@@ -83,6 +83,54 @@ def test_chunk_fallback_large_graph(mesh42):
     _check_spmm(dg, x, ptr, cols)
 
 
+def test_split_paths_default_geometry(mesh42):
+    """Block-stream split at the production 512x128 geometry: unweighted,
+    weighted, and fused-AGNN paths all exact on a hub-dominated graph."""
+    rng = np.random.default_rng(21)
+    n, d = 6000, 24
+    # Hub rows (one mega window at blk_h=512) reach random global columns;
+    # the rest are banded (local columns) so the skew survives
+    # symmetrization — the shape RCM gives real power-law graphs.
+    cols_l = [
+        np.unique(rng.integers(0, n, 500))
+        if i < 400
+        else np.unique(rng.integers(max(0, i - 256), min(n, i + 256), 5))
+        for i in range(n)
+    ]
+    import scipy.sparse as sp
+
+    rows = np.repeat(np.arange(n), [len(c) for c in cols_l])
+    a = sp.csr_matrix(
+        (np.ones(len(rows)), (rows, np.concatenate(cols_l))), shape=(n, n)
+    )
+    a = ((a + a.T) > 0).astype(np.int8).tocsr()
+    ptr, cols = a.indptr.astype(np.int32), a.indices.astype(np.int32)
+
+    dg = DistributedTiledGraph(ptr, cols, n, mesh42, TileConfig())
+    assert dg.dense_tiles and dg.host_fwd.split is not None and dg._ag_split
+
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    xs = dg.shard_features(x)
+    _check_spmm(dg, x, ptr, cols)
+
+    w = rng.standard_normal(dg.num_edges).astype(np.float32)
+    out = jax.jit(dg.spmm_weighted)(xs, dg.edge_weights_to_sharded(w))
+    want = np.asarray(
+        spmm_ref(jnp.asarray(x), jnp.asarray(ptr), jnp.asarray(cols), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(np.asarray(out)[:n, :d], want, rtol=1e-3, atol=1e-3)
+
+    from tcgnn_tpu.graph import TiledGraph
+
+    sg = TiledGraph(ptr, cols, n, TileConfig())
+    att = np.array([[0.5, 1.5]], np.float32)
+    out_d = jax.jit(dg.agnn_aggregate)(xs, jnp.asarray(att))
+    out_s = np.asarray(sg.agnn_aggregate(jnp.asarray(x), jnp.asarray(att)))
+    np.testing.assert_allclose(
+        np.asarray(out_d)[:n, :d], out_s, rtol=1e-3, atol=1e-3
+    )
+
+
 def test_mesh_cli_smoke(tmp_path, capsys):
     """--mesh trainer end to end, with the newly plumbed eval/checkpoint."""
     from tcgnn_tpu import train as train_mod
