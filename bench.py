@@ -71,30 +71,40 @@ def main():
 
     x = jnp.asarray(ds.x)
     y = jnp.asarray(ds.y.astype(np.int32))
-    params = nets.init_net(
-        jax.random.PRNGKey(0), "gcn", ds.num_features, 16, ds.num_classes, 2
-    )
     optimizer = optax.adam(0.01)
-    opt_state = optimizer.init(params)
-    step = make_train_step(graph, "gcn", x, y, optimizer, dropout_rate=0.5)
+    # CPU fallback keeps the run short: it exists only so the driver always
+    # gets its JSON line while the tunnel is down.
+    epochs, reps = (200, 3) if on_tpu else (10, 2)
 
-    key = jax.random.PRNGKey(1)
-    loss = None
-    for _ in range(10):  # warm-up (compile + cache), main_tcgnn.py:166
-        params, opt_state, key, loss = step(params, opt_state, key)
-    float(loss)  # scalar fetch = true device sync (tunnel backends lie on block_until_ready)
-
-    epochs = 200 if on_tpu else 20
-    # Best of 3 repetitions: the axon tunnel has rare multi-second stalls
-    # (CLAUDE.md) that would otherwise pollute the single recorded number.
-    epoch_ms = float("inf")
-    final_loss = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(epochs):
+    def measure(hoist):
+        """Best-of-N avg epoch ms (tunnel stalls would pollute one rep)."""
+        params = nets.init_net(
+            jax.random.PRNGKey(0), "gcn", ds.num_features, 16, ds.num_classes, 2
+        )
+        opt_state = optimizer.init(params)
+        step = make_train_step(
+            graph, "gcn", x, y, optimizer, dropout_rate=0.5, hoist=hoist
+        )
+        key = jax.random.PRNGKey(1)
+        loss = None
+        for _ in range(10):  # warm-up (compile + cache), main_tcgnn.py:166
             params, opt_state, key, loss = step(params, opt_state, key)
-        final_loss = float(loss)  # forces the whole epoch chain before the clock stops
-        epoch_ms = min(epoch_ms, (time.perf_counter() - t0) * 1e3 / epochs)
+        float(loss)  # scalar fetch = true sync (block_until_ready lies here)
+        best, final_loss = float("inf"), None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(epochs):
+                params, opt_state, key, loss = step(params, opt_state, key)
+            final_loss = float(loss)  # forces the epoch chain before the clock stops
+            best = min(best, (time.perf_counter() - t0) * 1e3 / epochs)
+        return best, final_loss
+
+    # Headline value is measured WITHOUT the layer-1 aggregate hoist so it
+    # is like-for-like with the reference schedule (which recomputes that
+    # SpMM every epoch); the framework's default (hoisted) epoch is
+    # reported alongside.
+    epoch_ms, final_loss = measure(hoist=False)
+    epoch_ms_hoisted, _ = measure(hoist=True)
 
     print(
         json.dumps(
@@ -103,6 +113,7 @@ def main():
                 "value": round(epoch_ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / epoch_ms, 3),
+                "value_hoisted_default": round(epoch_ms_hoisted, 4),
                 "prep_ms": round(prep_ms, 1),
                 "tc_blocks": graph.tc_blocks,
                 "backend": jax.default_backend(),

@@ -113,7 +113,9 @@ def probe_block_diag(
     a graph headed for the BD path — the balance shuffle destroys the
     banded layout).
 
-    Returns ``(ok, bdm, bdm_t, symmetric)``.
+    Returns ``(ok, bdm, bdm_t, symmetric, (t_ptr, t_idx, t_src))`` — the
+    transpose triple is valid for the PROBED CSR and lets the constructor
+    skip partition_graph's O(E) re-transpose when the CSR is unchanged.
     """
     from tcgnn_tpu.sgt.blockdiag import extract_block_diag
     from tcgnn_tpu.sgt.translate import transpose_csr
@@ -123,7 +125,7 @@ def probe_block_diag(
     wd = _round_up(max(-(-n // blk_h), 1), num_shards) // num_shards
     rows_per_shard = wd * blk_h  # == partition_csr's derivation
 
-    t_ptr, t_idx, _ = transpose_csr(
+    t_ptr, t_idx, t_src = transpose_csr(
         np.asarray(row_pointers), np.asarray(column_index), n
     )
     symmetric = _is_symmetric(row_pointers, column_index, n, t=(t_ptr, t_idx))
@@ -145,7 +147,7 @@ def probe_block_diag(
             and len(m.offsets) * b_loc * m.bin_rows**2 + 1 < 2**31
         )
 
-    return _ok(bdm) and _ok(bdm_t), bdm, bdm_t, symmetric
+    return _ok(bdm) and _ok(bdm_t), bdm, bdm_t, symmetric, (t_ptr, t_idx, t_src)
 
 
 _META_FIELDS = (
@@ -190,24 +192,41 @@ _SPLIT_FIELDS = (
 )
 
 
-def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> dict:
+def _meta_to_device(
+    meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool, dense: bool = True
+) -> dict:
+    """Upload exactly the arrays the chosen op path reads.
+
+    The dense path never touches the chunk metadata or the global
+    ``col_ids`` (its kernels index the halo-remapped ``col_ids_ext``), and
+    the chunk fallback never touches the dense tiles, halo tables, overlap
+    classes, or split streams — uploading the union would push tens of
+    wasted MB per big graph through the ~40 MB/s tunnel.
+    """
     sh = NamedSharding(mesh, P("graph"))
-    fields = (set(_META_FIELDS) | set(_DENSE_FIELDS)) - {"col_ids_ext", "send_idx"}
+    fields = (
+        set(_DENSE_FIELDS) - {"col_ids_ext", "send_idx"}
+        if dense
+        else set(_META_FIELDS)
+    )
     out = {
         k: jax.device_put(jnp.asarray(getattr(meta, k)), sh) for k in fields
     }
-    out["col_ids_ext"] = jax.device_put(
-        jnp.asarray(meta.halo["col_ids_ext"]), sh
-    )
-    out["send_idx"] = jax.device_put(jnp.asarray(meta.halo["send_idx"]), sh)
+    if dense:
+        out["col_ids_ext"] = jax.device_put(
+            jnp.asarray(meta.halo["col_ids_ext"]), sh
+        )
+        out["send_idx"] = jax.device_put(jnp.asarray(meta.halo["send_idx"]), sh)
     if with_fwd_slot:
-        out["chunk_fwd_slot"] = jax.device_put(
-            jnp.asarray(meta.chunk_fwd_slot), sh
-        )
-        out["edge_fwd_slot"] = jax.device_put(
-            jnp.asarray(meta.edge_fwd_slot), sh
-        )
-    if meta.overlap is not None:
+        if dense:
+            out["edge_fwd_slot"] = jax.device_put(
+                jnp.asarray(meta.edge_fwd_slot), sh
+            )
+        else:
+            out["chunk_fwd_slot"] = jax.device_put(
+                jnp.asarray(meta.chunk_fwd_slot), sh
+            )
+    if dense and meta.overlap is not None:
         ov = {cls: dict(meta.overlap[cls]) for cls in ("local", "remote")}
         ov["remote"]["col_ids"] = meta.halo["overlap_remote_col_ids_ext"]
         out["overlap"] = tuple(
@@ -215,7 +234,7 @@ def _meta_to_device(meta: ShardedSGTMeta, mesh: Mesh, with_fwd_slot: bool) -> di
             for cls in ("local", "remote")
             for k in _OVERLAP_KEYS
         )
-    if meta.split is not None:
+    if dense and meta.split is not None:
         sp = meta.split
         # everything but send_idx, which _device_arrays appends last
         out["split"] = tuple(
@@ -272,10 +291,11 @@ class DistributedTiledGraph:
         self.block_diag = False
         self._bd_host = None
         bdm = bdm_t = None
+        t_csr = None  # probe's transpose triple — valid for THIS exact CSR
         if dense_tiles is not False and block_diag is not False:
             # ``_probe``: distributed_graph_from_dataset already ran the
             # (expensive) gate on this exact CSR — reuse it.
-            self.block_diag, bdm, bdm_t, self.symmetric = (
+            self.block_diag, bdm, bdm_t, self.symmetric, t_csr = (
                 _probe
                 if _probe is not None
                 else probe_block_diag(
@@ -307,6 +327,7 @@ class DistributedTiledGraph:
         fwd, bwd = partition_graph(
             row_pointers, column_index, self.num_nodes, self.pg, config,
             build_tiles=not self.block_diag, split=want_split,
+            transpose=t_csr,
         )
         assert fwd.rows_per_shard == rows_per_shard, (
             fwd.rows_per_shard, rows_per_shard,
@@ -346,8 +367,12 @@ class DistributedTiledGraph:
             # arrays — the big HBM cost — are never built.
             self._fwd = self._bwd = None
         else:
-            self._fwd = _meta_to_device(fwd, mesh, with_fwd_slot=False)
-            self._bwd = _meta_to_device(bwd, mesh, with_fwd_slot=True)
+            self._fwd = _meta_to_device(
+                fwd, mesh, with_fwd_slot=False, dense=dense_tiles
+            )
+            self._bwd = _meta_to_device(
+                bwd, mesh, with_fwd_slot=True, dense=dense_tiles
+            )
 
         self._node_sh = NamedSharding(mesh, P("graph", "feature"))
         self._edge_sh = NamedSharding(mesh, P("graph"))
@@ -949,7 +974,7 @@ class DistributedTiledGraph:
             if sp is None or not self.dense_tiles:
                 return None
             gcap, qcap = int(sp["guest_cap"]), int(sp["pair_cap"])
-            rows = wd * blk_h
+            guest_return = _make_guest_return(gcap, qcap)
 
             def local_spmm_split(x_loc, *args):
                 if weighted:
@@ -959,18 +984,9 @@ class DistributedTiledGraph:
                 m = dict(zip(_SPLIT_FIELDS, meta))
                 x_ext = halo_exchange(x_loc, m["send_idx"])
                 if weighted:
-                    w_all = jax.lax.all_gather(
-                        w_loc, "graph", axis=0, tiled=True
-                    )
-                    w_ext = jnp.concatenate(
-                        [w_all, jnp.zeros((1,), w_all.dtype)]
-                    )
-                    vals = w_ext[m["w_src"][0]].astype(jnp.float32)
-                    b_max = m["a_tiles"].shape[1]
-                    tiles = (
-                        jnp.zeros((b_max * blk_h * blk_w,), jnp.float32)
-                        .at[m["edge_pos"][0]].add(vals, mode="drop")
-                        .reshape(b_max, blk_h, blk_w)
+                    vals = _w_all_ext(w_loc)[m["w_src"][0]].astype(jnp.float32)
+                    tiles = _scatter_w_tiles(
+                        vals, m["edge_pos"][0], m["a_tiles"].shape[1]
                     )
                 else:
                     tiles = m["a_tiles"][0]
@@ -980,20 +996,7 @@ class DistributedTiledGraph:
                     cfg=cfg, num_windows=wd + gcap, interpret=interpret,
                     d_tile=d_tile,
                 )
-                own = out[:rows]
-                d = own.shape[1]
-                guests = out[rows:rows + gcap * blk_h].reshape(gcap, blk_h, d)
-                send = (
-                    jnp.zeros((pg * qcap, blk_h, d), own.dtype)
-                    .at[m["send_pos"][0]].set(guests, mode="drop")
-                )
-                recv = jax.lax.all_to_all(
-                    send.reshape(pg, qcap * blk_h, d), "graph",
-                    split_axis=0, concat_axis=0, tiled=True,
-                )
-                return own.at[m["recv_row_idx"][0]].add(
-                    recv.reshape(pg * qcap * blk_h, d), mode="drop"
-                )
+                return guest_return(out, m, out.shape[1])
 
             sp_specs = tuple(P("graph") for _ in _SPLIT_FIELDS)
             in_specs = (

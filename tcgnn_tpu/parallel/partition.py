@@ -131,6 +131,22 @@ def _pad_axis0(a: np.ndarray, target: int, fill) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
+def _tile_dtype(tiles_per_shard: list, config: TileConfig):
+    """Structural-tile dtype shared by every stacked/overlap/split array.
+
+    int8 like the single-device path (graph.py to_dev); if any shard holds
+    a multigraph block whose duplicate-edge count exceeds int8 range, fall
+    back to the compute dtype GLOBALLY so stacking stays homogeneous and no
+    class silently wraps at 127."""
+    if max(t.max(initial=0.0) for t in tiles_per_shard) <= 127:
+        return np.int8
+    import jax.numpy as jnp
+
+    return (
+        np.float32 if config.compute_dtype == jnp.float32 else config.compute_dtype
+    )
+
+
 def _stack_shards(
     metas: list[SGTMeta],
     edge_start: np.ndarray,
@@ -152,20 +168,9 @@ def _stack_shards(
     e_max = int(edge_capacity if edge_capacity is not None else max(counts.max(), 1))
     last_window = rows_per_shard // config.blk_h - 1
 
-    # Structural tiles are int8 like the single-device path (graph.py
-    # to_dev); if any shard holds a multigraph block whose duplicate-edge
-    # count exceeds int8 range, fall back to the compute dtype globally so
-    # stacking stays homogeneous.
     if tiles_per_shard is None:
         tiles_per_shard = [build_a_tiles_host(m) for m in metas]
-    if max(t.max(initial=0.0) for t in tiles_per_shard) <= 127:
-        tile_np_dtype = np.int8
-    else:
-        import jax.numpy as jnp
-
-        tile_np_dtype = (
-            np.float32 if config.compute_dtype == jnp.float32 else config.compute_dtype
-        )
+    tile_np_dtype = _tile_dtype(tiles_per_shard, config)
 
     col_ids, chunk_r, chunk_c, chunk_eid = [], [], [], []
     chunk_block, chunk_window, chunk_first = [], [], []
@@ -357,12 +362,7 @@ def build_split(
         if tiles_per_shard is not None
         else [build_a_tiles_host(m) for m in metas]
     )
-    if max(t.max(initial=0.0) for t in tiles_list) <= 127:
-        tdt = np.int8
-    else:
-        import jax.numpy as jnp
-
-        tdt = np.float32 if config.compute_dtype == jnp.float32 else config.compute_dtype
+    tdt = _tile_dtype(tiles_list, config)
 
     # Per-owner block remap for the per-edge maps below: which shard
     # computes each original block, and at which stream position.
@@ -490,6 +490,8 @@ def split_local_remote(
     lo: int,
     hi: int,
     config: TileConfig,
+    tiles_full: Optional[np.ndarray] = None,
+    tile_dtype=np.int8,
 ):
     """Split one shard's blocks into local / remote classes for halo overlap.
 
@@ -498,10 +500,12 @@ def split_local_remote(
     shard-resident features, so the kernel can run while the halo
     all-gather is still in flight.  Edgeless padding blocks are local.
 
-    Returns a dict per class with keys ``a_tiles`` (int8), ``col_ids``
-    (local class: ids relative to the shard; remote: global), ``block_window``,
-    ``block_first``, ``edge_pos`` ([num_edges] int64 into the class's tile
-    space, -1 for edges of the other class), ``num_blocks``.
+    Returns a dict per class with keys ``a_tiles`` (``tile_dtype``; the
+    caller picks the same int8-or-compute dtype as the stacked tiles so
+    multigraph counts never wrap), ``col_ids`` (local class: ids relative
+    to the shard; remote: global), ``block_window``, ``block_first``,
+    ``edge_pos`` ([num_edges] int64 into the class's tile space, -1 for
+    edges of the other class), ``num_blocks``.
     """
     from tcgnn_tpu.sgt.translate import build_a_tiles_host
 
@@ -516,7 +520,9 @@ def split_local_remote(
     block_is_remote = np.zeros(num_blocks, dtype=bool)
     np.logical_or.at(block_is_remote, edge_block, remote_edge)
 
-    tiles_full = build_a_tiles_host(meta).astype(np.int8)
+    if tiles_full is None:
+        tiles_full = build_a_tiles_host(meta)
+    tiles_full = tiles_full.astype(tile_dtype)
     block_start = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(meta.block_partition.astype(np.int64), out=block_start[1:])
 
@@ -545,7 +551,7 @@ def split_local_remote(
         new_block = np.full(num_blocks, -1, dtype=np.int64)
         new_block[sel_idx] = new_start[win_of_sel] + rank_in_window
 
-        a_tiles = np.zeros((nb, blk_h, blk_w), dtype=np.int8)
+        a_tiles = np.zeros((nb, blk_h, blk_w), dtype=tile_dtype)
         col_ids = np.zeros(nb * blk_w, dtype=np.int32)
         a_tiles[new_block[sel_idx]] = tiles_full[sel_idx]
         src_cols = meta.col_ids.reshape(num_blocks, blk_w)[sel_idx]
@@ -750,7 +756,8 @@ def partition_csr(
         edge_capacity, tiles_per_shard=tiles_per_shard,
     )
     stacked.overlap = _stack_overlap(
-        metas, local_cols_list, rows_per_shard, config, stacked.edge_capacity
+        metas, local_cols_list, rows_per_shard, config, stacked.edge_capacity,
+        tiles_per_shard=tiles_per_shard,
     )
     split_host = (
         build_split(
@@ -784,7 +791,10 @@ def partition_csr(
     return stacked
 
 
-def _stack_overlap(metas, local_cols_list, rows_per_shard, config, edge_capacity):
+def _stack_overlap(
+    metas, local_cols_list, rows_per_shard, config, edge_capacity,
+    tiles_per_shard=None,
+):
     """Stack per-shard local/remote block classes (see split_local_remote).
 
     Each class also carries ``edge_pos`` [G, edge_capacity]: the edge's flat
@@ -793,10 +803,19 @@ def _stack_overlap(metas, local_cols_list, rows_per_shard, config, edge_capacity
     that scatter ``mode="drop"`` ignores and gather ``mode="fill"`` zeroes,
     so the weighted/SDDMM overlap ops need no extra masks.
     """
+    tdt = (
+        _tile_dtype(tiles_per_shard, config)
+        if tiles_per_shard is not None
+        else np.int8
+    )
     classes = {"local": [], "remote": []}
     for s, m in enumerate(metas):
         lo, hi = s * rows_per_shard, (s + 1) * rows_per_shard
-        loc, rem = split_local_remote(m, local_cols_list[s], lo, hi, config)
+        loc, rem = split_local_remote(
+            m, local_cols_list[s], lo, hi, config,
+            tiles_full=tiles_per_shard[s] if tiles_per_shard is not None else None,
+            tile_dtype=tdt,
+        )
         classes["local"].append(loc)
         classes["remote"].append(rem)
 
@@ -841,8 +860,12 @@ def partition_graph(
     symmetric: bool = False,
     build_tiles: bool = True,
     split: bool = False,
+    transpose: Optional[tuple] = None,
 ) -> tuple[ShardedSGTMeta, ShardedSGTMeta]:
     """Forward + transpose sharded metadata for distributed training.
+
+    ``transpose``: optional precomputed ``(t_ptr, t_idx, t_src)`` for this
+    exact CSR (probe_block_diag already paid the O(E) host transpose).
 
     The transpose partition carries ``chunk_fwd_slot`` so per-edge weights
     given in forward CSR order can be fetched (post all-gather) inside the
@@ -855,8 +878,12 @@ def partition_graph(
         build_tiles=build_tiles, split=split,
     )
 
-    t_ptr, t_idx, t_src = transpose_csr(
-        np.asarray(row_pointers), np.asarray(column_index), num_nodes
+    t_ptr, t_idx, t_src = (
+        transpose
+        if transpose is not None
+        else transpose_csr(
+            np.asarray(row_pointers), np.asarray(column_index), num_nodes
+        )
     )
     bwd = partition_csr(
         t_ptr, t_idx, num_nodes, num_shards, config, build_tiles=build_tiles,
