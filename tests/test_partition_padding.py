@@ -193,6 +193,35 @@ def test_int8_overflow_falls_back_to_compute_dtype():
     fwd, bwd = partition_graph(ptr.astype(np.int32), cols.astype(np.int32), n, 2, CFG)
     assert fwd.a_tiles.dtype != np.int8
     assert fwd.a_tiles.max() == 200
+    # The overlap classes (the DEFAULT distributed dense path) must carry
+    # the same fallback dtype — int8 would silently wrap 200 -> -56.
+    for cls in ("local", "remote"):
+        assert fwd.overlap[cls]["a_tiles"].dtype != np.int8
+    assert max(
+        fwd.overlap[cls]["a_tiles"].max() for cls in ("local", "remote")
+    ) == 200
+
+
+def test_multigraph_distributed_spmm_exact(mesh42_cached={}):
+    """End-to-end distributed SpMM on a >127-duplicate multigraph: the
+    duplicate count must aggregate as 200, not wrap."""
+    from tcgnn_tpu.parallel import DistributedTiledGraph, make_mesh
+
+    n, d = 64, 8
+    cols = np.concatenate([np.zeros(200, np.int64), np.arange(1, n)])
+    ptr = np.zeros(n + 1, np.int64)
+    ptr[1] = 200
+    ptr[2:] = 200 + np.arange(1, n)
+    mesh = mesh42_cached.setdefault("m", make_mesh(n_graph=2, n_feature=1))
+    dg = DistributedTiledGraph(
+        ptr.astype(np.int32), cols.astype(np.int32), n, mesh, CFG
+    )
+    x = np.random.default_rng(0).standard_normal((n, d)).astype(np.float32)
+    out = np.asarray(jax.jit(dg.spmm)(dg.shard_features(x)))[:n, :d]
+    want = np.zeros((n, d), np.float32)
+    want[0] = 200.0 * x[0]
+    want[1:] = x[1:]
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
 
 
 def test_strict_interpret_split_spmm_per_shard():
