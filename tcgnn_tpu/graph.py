@@ -31,19 +31,18 @@ from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
 from tcgnn_tpu.ops.sddmm import (
     sddmm_tc,
     sddmm_tc_dense,
-    sddmm_tc_dense_tiles,
     sddmm_tc_streamed,
 )
 from tcgnn_tpu.ops.spmm import (
-    _bd_transpose_core,
-    _spmm_colspace_padded,
-    _spmm_fused_padded,
+    BD_BIN_GROUP,
     bd_scatter_weights,
     bd_score_tiles,
+    bd_sfused,
     build_a_tiles,
     build_bd_pack,
     build_struct_tiles,
     spmm_block_diag,
+    spmm_sfused,
     spmm_tc,
     spmm_tc_blockout,
     spmm_tc_dense,
@@ -123,21 +122,15 @@ class TiledGraph:
         dense_bytes = (nb_f if symmetric else nb_f + nb_t) * tile_elems
         self._bdm_probe = None  # pre-extracted BD decomposition (reused below)
         itemsize = jnp.dtype(config.compute_dtype).itemsize
-        # Would the condensed fused-AGNN path's score/weighted tiles (≈4
-        # compute-width tile arrays alive across fwd+bwd) fit?  Gates the
-        # dense fused attention path below.
-        self._fused_dense_ok = (
-            dense_bytes + 4 * nb_f * tile_elems * itemsize
-            <= DENSE_TILE_BUDGET_BYTES
-        )
-        if weighted_traffic and not (symmetric and self._fused_dense_ok):
-            # Attention models (AGNN) materialize per-layer WEIGHTED/score
+        if weighted_traffic and not symmetric:
+            # ASYMMETRIC attention graphs materialize per-layer WEIGHTED
             # tiles at the compute dtype on top of the int8 structural
-            # tiles; forward+backward keep several alive at once, so the
-            # dense path must also budget ~4 compute-width tile arrays or
-            # the epoch OOMs on big-block graphs (OVCAR-class: 18k blocks
-            # = 2.4 GB bf16 each).  Symmetric graphs whose FUSED path fits
-            # (checked above) never materialize them, hence no penalty.
+            # tiles (per-edge weighted path, `build_a_tiles`);
+            # forward+backward keep several alive at once, so the dense
+            # path must also budget ~4 compute-width tile arrays or the
+            # epoch OOMs on big-block graphs.  Symmetric graphs ride the
+            # score-FUSED kernels (`spmm_sfused` / `bd_sfused`) whose score
+            # tiles exist only in VMEM — no budget penalty at all.
             # The chunk kernels' weighted form needs only O(E) per-edge
             # scalars — but so does the BLOCK-DIAGONAL weighted path
             # (transient [Bp, bn, K*bn] packs), so probe a BD decomposition
@@ -630,133 +623,83 @@ class TiledGraph:
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)
 
-        # ---- fused AGNN aggregation (tile-space attention) ----------------
+        # ---- fused AGNN aggregation (score-fused kernels) -------------------
         # AGNN's edge attention is  att_e = c_h * e_e  with e = SDDMM(x), so
-        # the weighted adjacency is  cbar * (A_struct ⊙ S)  where S are the
-        # score tiles the dense SDDMM already produces — the per-edge
-        # scatter/gather round-trip (and the multi-GB weighted-tile
-        # materialization) disappears entirely.  Symmetric graphs only: the
-        # transpose-side gradient reuses the same tiling (A^T tiles == A
-        # tiles, S symmetric), with the column-space kernel covering the
-        # second SDDMM gradient term.
+        # the head-averaged aggregation is  mean(c) * (A ⊙ S) x  with
+        # S = X Xᵀ.  On symmetric graphs every forward/backward term of that
+        # op is ONE pass of the score-fused kernels (`ops.spmm.spmm_sfused`
+        # / `bd_sfused`): score tiles are formed in VMEM and never exist in
+        # HBM, and the backward's column-space term collapses to a regular
+        # pass via (A ⊙ T)ᵀ = A ⊙ Tᵀ (A symmetric).  Per layer: one fused
+        # pass forward, three backward — the same cost class as GCN's SpMM,
+        # matching the reference's AGNN/GCN kernel parity
+        # (TCGNN_kernel.cu:459-578 vs 336-454).
         agnn_aggregate = None
-        if (
-            self.dense_tiles
-            and self.symmetric
-            and bd_pack_f is not None
-            and self._bd_full_coverage
-        ):
-            # Fused attention in PACKED DIAGONAL space: the weighted pack is
-            # C ⊙ S formed transiently from the structural counts and the BD
-            # score tiles — no gather, no condensed-space tile arrays.  Full
-            # coverage only (a residual would need its own per-edge att
-            # terms in this VJP; partial-coverage graphs take the per-edge
-            # BD ops above instead).  Math is identical to the condensed
-            # fused path below: y = mean(c) * (A ⊙ S) x with S = X X^T.
+
+        def _make_sfused_agnn(core):
+            @jax.custom_vjp
+            def agnn_aggregate(x, att_w):
+                return jnp.mean(att_w) * core(x, x, x)
+
+            def agnn_fwd(x, att_w):
+                u = core(x, x, x)
+                return jnp.mean(att_w) * u, (x, att_w, u)
+
+            def agnn_bwd(res, dy):
+                x, att_w, u = res
+                cbar = jnp.mean(att_w)
+                # dx = cbar * [(A⊙S) dy + (A⊙T) x + (A⊙Tᵀ) x] with
+                # S_ij = <x_i, x_j>, T_ij = <dy_i, x_j>; Tᵀ is the same
+                # kernel with the score operands swapped.  The saved
+                # forward product u = (A⊙S) x gives d att directly.
+                t1 = core(x, x, dy)
+                t2a = core(dy, x, x)
+                t2b = core(x, dy, x)
+                dx = cbar * (t1 + t2a + t2b)
+                d_cbar = jnp.vdot(dy.astype(jnp.float32), u)
+                datt = jnp.full(att_w.shape, d_cbar / att_w.size, att_w.dtype)
+                return dx, datt
+
+            agnn_aggregate.defvjp(agnn_fwd, agnn_bwd)
+            return agnn_aggregate
+
+        if self.dense_tiles and self.symmetric:
             cfg = self.config
             offs = self._bd_offsets
-            bd_tiles = bd_pack_f[0]
-            bp, bn = bd_tiles.shape[0], bd_tiles.shape[1]
-            ct = cfg.compute_dtype
-
-            def _bd_s(xa, xb):
-                # Fused in-tile-space product C * S runs at the compute
-                # dtype; the per-edge SDDMM path keeps the f32 default.
-                return bd_score_tiles(
-                    xa, xb, bp=bp, bn=bn, offsets=offs,
-                    cfg=cfg, interpret=interpret, out_dtype=ct,
+            # The BD kernel's 3-panel halo covers |offset| <= BD_BIN_GROUP;
+            # a partial-coverage residual is symmetric exactly when the
+            # offset set is sign-symmetric (A itself is symmetric).
+            bd_ok = (
+                bd_pack_f is not None
+                and max(abs(o) for o in offs) <= BD_BIN_GROUP
+                and (
+                    self._bd_full_coverage
+                    or set(offs) == {-o for o in offs}
                 )
+            )
+            if bd_ok:
+                bd_tiles, res_meta, res_a = bd_pack_f[:3]
 
-            def _bd_core(x, wt):
-                return spmm_block_diag(
-                    x, wt, offsets=offs, cfg=cfg, interpret=interpret
+                def core(l, r, v):
+                    out = bd_sfused(
+                        l, r, v, bd_tiles, offsets=offs, cfg=cfg,
+                        interpret=interpret,
+                    )
+                    if res_meta is not None:
+                        out = out + spmm_sfused(
+                            l, r, v, res_meta, res_a, interpret=interpret
+                        )
+                    return out
+
+                agnn_aggregate = _make_sfused_agnn(core)
+            elif meta is not None:
+                agnn_aggregate = _make_sfused_agnn(
+                    lambda l, r, v: spmm_sfused(
+                        l, r, v, meta, a_struct, interpret=interpret
+                    )
                 )
-
-            @jax.custom_vjp
-            def agnn_aggregate(x, att_w):
-                cbar = jnp.mean(att_w)
-                return cbar * _bd_core(x, bd_tiles.astype(ct) * _bd_s(x, x))
-
-            def agnn_fwd(x, att_w):
-                return agnn_aggregate(x, att_w), (x, att_w)
-
-            def agnn_bwd(res, dy):
-                x, att_w = res
-                cbar = jnp.mean(att_w)
-                c = bd_tiles.astype(ct)
-                cs = c * _bd_s(x, x)       # rematerialized, S_ij = <x_i, x_j>
-                t = c * _bd_s(dy, x)       # T_ij = <dy_i, x_j>
-                # Same three-term dx as the condensed fused path (symmetry
-                # makes (A⊙S)^T == A⊙S); the column-space term rides the
-                # packed transpose-apply.
-                t1 = _bd_core(dy, cs)
-                t2a = _bd_core(x, t)
-                t2b = _bd_transpose_core(
-                    x, t, offsets=offs, cfg=cfg, interpret=interpret
-                )[: x.shape[0], : x.shape[1]]
-                dx = cbar * (t1 + t2a + t2b)
-                u = _bd_core(x, cs)
-                d_cbar = jnp.vdot(dy.astype(jnp.float32), u)
-                datt = jnp.full(att_w.shape, d_cbar / att_w.size, att_w.dtype)
-                return dx, datt
-
-            agnn_aggregate.defvjp(agnn_fwd, agnn_bwd)
-        elif self.dense_tiles and self.symmetric and self._fused_dense_ok:
-            from tcgnn_tpu.ops.spmm import default_interpret
-
-            interp = default_interpret() if interpret is None else interpret
-            cfg = self.config
-            n = self.num_nodes
-
-            def s_tiles(xa, xb):
-                return sddmm_tc_dense_tiles(
-                    xa, meta, xb, interpret=interpret,
-                    out_dtype=cfg.compute_dtype,
-                )
-
-            def fused(x, s):
-                return _spmm_fused_padded(
-                    x, a_struct, s, meta.col_ids, meta.block_window,
-                    meta.block_first_in_window,
-                    cfg=cfg, num_windows=meta.num_windows, interpret=interp,
-                )[: x.shape[0], : x.shape[1]]
-
-            @jax.custom_vjp
-            def agnn_aggregate(x, att_w):
-                cbar = jnp.mean(att_w)
-                return cbar * fused(x, s_tiles(x, x))
-
-            def agnn_fwd(x, att_w):
-                return agnn_aggregate(x, att_w), (x, att_w)
-
-            def agnn_bwd(res, dy):
-                x, att_w = res
-                cbar = jnp.mean(att_w)
-                s = s_tiles(x, x)       # rematerialized, e_ij = <x_i, x_j>
-                t = s_tiles(dy, x)      # t_ij = <dy_i, x_j>
-                # d x — three terms (see derivation in the commit message):
-                #   (A⊙S) dy            through the aggregated x_j factor
-                #   (A⊙T) x             through e_ij's x_i dependence
-                #   col-space (A⊙T)ᵀ x  through e_ij's x_j dependence
-                t1 = fused(dy, s)
-                t2a = fused(x, t)
-                ycol = _spmm_colspace_padded(
-                    x, a_struct, t, meta.block_window,
-                    cfg=cfg, num_windows=meta.num_windows, interpret=interp,
-                )[:, : x.shape[1]]
-                t2b = (
-                    jnp.zeros((n, x.shape[1]), jnp.float32)
-                    .at[meta.col_ids]
-                    .add(ycol)
-                )
-                dx = cbar * (t1 + t2a + t2b)
-                # d att: out scales linearly in mean(att_w).
-                u = fused(x, s)
-                d_cbar = jnp.vdot(dy.astype(jnp.float32), u)
-                datt = jnp.full(att_w.shape, d_cbar / att_w.size, att_w.dtype)
-                return dx, datt
-
-            agnn_aggregate.defvjp(agnn_fwd, agnn_bwd)
+            # else: BD full coverage with an offset outside the halo bound —
+            # AGNN falls back to the per-edge BD ops above (correct, slower).
 
         return spmm, spmm_weighted, sddmm, agnn_aggregate
 

@@ -769,6 +769,167 @@ def spmm_block_diag(
 
 
 # ---------------------------------------------------------------------------
+# Score-fused BLOCK-DIAGONAL kernel: the packed-diagonal counterpart of
+# `_spmm_sfused_padded` —
+#
+#     out_bin[b] = sum_k (C_k[b] ⊙ (xl_bin[b] @ xr_bin[b+k]ᵀ)) @ xv_bin[b+k]
+#
+# with the per-bin score tiles formed IN VMEM.  The previous BD fused path
+# materialized [Bp, bn, K*bn] score/weighted packs in HBM per term (YeastH:
+# 2.4 GB bf16 each, several per backward); here the only HBM traffic is the
+# int8 structural pack plus contiguous feature panels.  Grid steps own
+# BD_BIN_GROUP bins; the halo (|offset| <= BD_BIN_GROUP, checked by the
+# caller) is covered by reading THREE consecutive feature panels per step —
+# plain contiguous DMAs, no gather anywhere.
+# ---------------------------------------------------------------------------
+def _bd_sfused_kernel(
+    c_ref, *refs, bn, group, offsets, compute_dtype, l_from, v_from,
+):
+    refs = list(refs)
+    o_ref = refs.pop()
+    l_ref = refs.pop(0) if l_from == "own" else None
+    r0, r1, r2 = refs[:3]
+    prec = _mxu_precision(compute_dtype)
+    slab_r = jnp.concatenate([r0[:], r1[:], r2[:]], axis=0)  # [3*G*bn, d]
+    if v_from == "own":
+        v0, v1, v2 = refs[3:6]
+        slab_v = jnp.concatenate([v0[:], v1[:], v2[:]], axis=0)
+    else:
+        slab_v = slab_r
+    p = group * bn
+    if l_from == "r":
+        xl = slab_r[p : 2 * p]
+    elif l_from == "v":
+        xl = slab_v[p : 2 * p]
+    else:
+        xl = l_ref[:]
+    for g in range(group):
+        xlg = xl[g * bn : (g + 1) * bn].astype(compute_dtype)  # [bn, d]
+        xs = jnp.concatenate(
+            [
+                slab_r[(group + g + k) * bn : (group + g + k + 1) * bn]
+                for k in offsets
+            ],
+            axis=0,
+        ).astype(compute_dtype)  # [K*bn, d]
+        s = jax.lax.dot_general(
+            xlg, xs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # [bn, K*bn] — BD score tile, VMEM-only
+        w = c_ref[g].astype(compute_dtype) * s.astype(compute_dtype)
+        if v_from == "r":
+            vs = xs
+        else:
+            vs = jnp.concatenate(
+                [
+                    slab_v[(group + g + k) * bn : (group + g + k + 1) * bn]
+                    for k in offsets
+                ],
+                axis=0,
+            ).astype(compute_dtype)
+        o_ref[g * bn : (g + 1) * bn] = jnp.dot(
+            w, vs, preferred_element_type=jnp.float32, precision=prec
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "cfg", "interpret", "l_from", "v_from"),
+)
+def _bd_sfused_padded(
+    xl, xr, xv, tiles,
+    *, offsets, cfg, interpret, l_from, v_from,
+):
+    bp, bn = tiles.shape[0], tiles.shape[1]
+    k = len(offsets)
+    g = BD_BIN_GROUP
+    assert bp % g == 0, (bp, g)
+    assert max(abs(o) for o in offsets) <= g, offsets
+    ct = cfg.compute_dtype
+    d = xr.shape[1]
+    d_pad = _round_up(d, 128) if d >= 128 else _round_up(max(d, 1), 8)
+    p = g * bn
+
+    def panelize(x):
+        return jnp.pad(
+            x.astype(ct),
+            ((p, (bp + g) * bn - x.shape[0]), (0, d_pad - d)),
+        )
+
+    xp_r = panelize(xr)
+    panel = lambda off: pl.BlockSpec(
+        (p, d_pad), lambda i, _off=off: (i + _off, 0)
+    )
+    in_specs = [
+        pl.BlockSpec((g, bn, k * bn), lambda i: (i, 0, 0)),
+        panel(0), panel(1), panel(2),
+    ]
+    # The r slab is one array read through three shifted panel specs.
+    operands = [tiles, xp_r, xp_r, xp_r]
+    if v_from == "own":
+        xp_v = panelize(xv)
+        operands += [xp_v, xp_v, xp_v]
+        in_specs += [panel(0), panel(1), panel(2)]
+    if l_from == "own":
+        operands.insert(1, panelize(xl))
+        in_specs.insert(1, panel(1))
+
+    kernel = functools.partial(
+        _bd_sfused_kernel, bn=bn, group=g, offsets=offsets,
+        compute_dtype=ct, l_from=l_from, v_from=v_from,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bp // g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((p, d_pad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp * bn, d_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * bn * k * bn * d_pad,
+            bytes_accessed=tiles.size * tiles.dtype.itemsize
+            + 5 * bp * bn * d_pad * xp_r.dtype.itemsize
+            + bp * bn * d_pad * 4,
+            transcendentals=0,
+        ),
+    )(*operands)
+
+
+def bd_sfused(
+    xl: jnp.ndarray,
+    xr: jnp.ndarray,
+    xv: jnp.ndarray,
+    tiles: jnp.ndarray,
+    *,
+    offsets: tuple,
+    cfg: TileConfig,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Score-fused block-diagonal SpMM:
+    ``out = (C ⊙ S) @ xv`` with ``S(i, j) = <xl[i], xr[j]>`` restricted to
+    the packed diagonal tiles.  Operand *object identity* (``xl is xr``
+    etc.) selects the panel-sharing layout — pass the same array object to
+    share its DMA streams.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    l_from = "r" if xl is xr else ("v" if xl is xv else "own")
+    v_from = "r" if xv is xr else "own"
+    n, d = xl.shape
+    out = _bd_sfused_padded(
+        None if l_from != "own" else xl,
+        xr,
+        None if v_from != "own" else xv,
+        tiles,
+        offsets=offsets, cfg=cfg, interpret=interpret,
+        l_from=l_from, v_from=v_from,
+    )
+    return out[:n, :d]
+
+
+# ---------------------------------------------------------------------------
 # Fused score-weighted kernels (the AGNN tile-space path): the weighted
 # A-tile is formed IN-KERNEL as  struct_tile * score_tile  — never
 # materialized in HBM.  Score tiles come straight from the dense SDDMM;
@@ -851,6 +1012,170 @@ def _spmm_fused_padded(
             transcendentals=0,
         ),
     )(gwin, gfirst, a_tiles, s_tiles, xg)
+
+
+# ---------------------------------------------------------------------------
+# Score-fused kernels (the round-3 AGNN fast path): the generalized product
+#
+#     out = (A_struct ⊙ (Xl @ Xr_gᵀ)) @ Xv_g
+#
+# with the score tile  S_b = Xl[window(b)] @ Xr_g[b]ᵀ  formed IN VMEM per
+# grid step — score tiles never exist in HBM (the previous fused path
+# materialized [B, blk_h, blk_w] score arrays per pass: ~1 GB on the
+# amazon-class graphs, ~2.4 GB packs on YeastH, read+written every term).
+#
+# Every AGNN train-step term is an instance (graph symmetric, S = X Xᵀ):
+#   forward   u   = (A ⊙ (x @ xᵀ))  @ x          l=x,  r=x,  v=x
+#   backward  t1  = (A ⊙ (x @ xᵀ))  @ dy         l=x,  r=x,  v=dy
+#             t2a = (A ⊙ (dy @ xᵀ)) @ x          l=dy, r=x,  v=x
+#             t2b = (A ⊙ (dy @ xᵀ))ᵀ @ x
+#                 = (A ⊙ (x @ dyᵀ)) @ x          l=x,  r=dy, v=x
+# using (M ⊙ T)ᵀ = Mᵀ ⊙ Tᵀ and A = Aᵀ — so the transpose/column-space
+# kernel disappears from the backward entirely.
+# Reference counterpart: the AGNN kernel pair TCGNN_kernel.cu:459-578 +
+# 584-728 (same cost class as the GCN SpMM, which this restores on TPU).
+# ---------------------------------------------------------------------------
+def _spmm_sfused_kernel(
+    gwin_ref, gfirst_ref, a_ref, xl_ref, xr_ref, *rest,
+    blk_h, blk_w, group, compute_dtype, share_rv,
+):
+    if share_rv:
+        xv_ref, o_ref = None, rest[0]
+    else:
+        xv_ref, o_ref = rest
+    i = pl.program_id(0)
+    prec = _mxu_precision(compute_dtype)
+    xl = xl_ref[:].astype(compute_dtype)  # [blk_h, d] — the group's window
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for k in range(group):
+        xr_k = xr_ref[k * blk_w : (k + 1) * blk_w, :].astype(compute_dtype)
+        s = jax.lax.dot_general(
+            xl, xr_k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # [blk_h, blk_w] — the score tile, VMEM-only
+        w = a_ref[k].astype(compute_dtype) * s.astype(compute_dtype)
+        xv_k = (
+            xr_k
+            if share_rv
+            else xv_ref[k * blk_w : (k + 1) * blk_w, :].astype(compute_dtype)
+        )
+        acc += jnp.dot(
+            w, xv_k, preferred_element_type=jnp.float32, precision=prec
+        )
+
+    @pl.when(gfirst_ref[i] == 1)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(gfirst_ref[i] == 0)
+    def _():
+        o_ref[:] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_windows", "interpret")
+)
+def _spmm_sfused_padded(
+    xl, xr, xv, a_tiles, col_ids, block_window, block_first,
+    *, cfg, num_windows, interpret,
+):
+    """Score-fused SpMM: out = (A ⊙ (xl @ xr_gᵀ)) @ xv_g, [W*blk_h, Dpad] f32.
+
+    ``xv=None`` shares the gathered xr slab as the value operand (the
+    forward/t2a cases), halving the gathered-feature DMA.  No d-tiling:
+    the score contraction needs the operands' full feature width per step
+    (AGNN aggregates at hidden width, d ≤ 128-class; VMEM holds it easily).
+    """
+    n_blocks = a_tiles.shape[0]
+    d = xl.shape[1]
+    group = cfg.block_group
+    assert n_blocks % group == 0, (n_blocks, group)
+    d_pad = _round_up(d, 128) if d >= 128 else _round_up(max(d, 1), 8)
+    gwin = block_window[::group]
+    gfirst = block_first[::group]
+
+    share_rv = xv is None
+    if cfg.compute_dtype == jnp.bfloat16:
+        xl = xl.astype(jnp.bfloat16)
+        xr = xr.astype(jnp.bfloat16)
+        xv = None if share_rv else xv.astype(jnp.bfloat16)
+    xl_pad = jnp.pad(
+        xl, ((0, num_windows * cfg.blk_h - xl.shape[0]), (0, d_pad - d))
+    )
+    xr_g = jnp.take(xr, col_ids, axis=0, fill_value=0)
+    if d_pad != d:
+        xr_g = jnp.pad(xr_g, ((0, 0), (0, d_pad - d)))
+    operands = [gwin, gfirst, a_tiles, xl_pad, xr_g]
+    in_specs = [
+        pl.BlockSpec((group, cfg.blk_h, cfg.blk_w), lambda b, w_, f_: (b, 0, 0)),
+        pl.BlockSpec((cfg.blk_h, d_pad), lambda b, w_, f_: (w_[b], 0)),
+        pl.BlockSpec((group * cfg.blk_w, d_pad), lambda b, w_, f_: (b, 0)),
+    ]
+    if not share_rv:
+        xv_g = jnp.take(xv, col_ids, axis=0, fill_value=0)
+        if d_pad != d:
+            xv_g = jnp.pad(xv_g, ((0, 0), (0, d_pad - d)))
+        operands.append(xv_g)
+        in_specs.append(
+            pl.BlockSpec((group * cfg.blk_w, d_pad), lambda b, w_, f_: (b, 0))
+        )
+
+    kernel = functools.partial(
+        _spmm_sfused_kernel, blk_h=cfg.blk_h, blk_w=cfg.blk_w,
+        group=group, compute_dtype=cfg.compute_dtype, share_rv=share_rv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks // group,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (cfg.blk_h, d_pad), lambda b, w_, f_: (w_[b], 0)
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_windows * cfg.blk_h, d_pad), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_blocks * cfg.blk_h * cfg.blk_w * d_pad,
+            bytes_accessed=xr_g.size * xr_g.dtype.itemsize * (1 if share_rv else 2)
+            + n_blocks * cfg.blk_h * xl_pad.dtype.itemsize * d_pad
+            + a_tiles.size * a_tiles.dtype.itemsize
+            + num_windows * cfg.blk_h * d_pad * 4,
+            transcendentals=0,
+        ),
+    )(*operands)
+
+
+def spmm_sfused(
+    xl: jnp.ndarray,
+    xr: jnp.ndarray,
+    xv: jnp.ndarray,
+    meta: JaxSGTMeta,
+    a_tiles: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Score-fused SpMM over SGT condensed tiles:
+    ``out = (A ⊙ (xl @ xvᵀ-space scores)) @ xv`` with
+    ``score(i, j) = <xl[i], xr[j]>`` — see `_spmm_sfused_padded`.
+
+    Pass ``xv is xr`` (object identity) to share the gathered slab.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    n, d = xl.shape
+    out = _spmm_sfused_padded(
+        xl, xr, None if xv is xr else xv, a_tiles,
+        meta.col_ids, meta.block_window, meta.block_first_in_window,
+        cfg=meta.config, num_windows=meta.num_windows, interpret=interpret,
+    )
+    return out[:n, :d]
 
 
 def _spmm_colspace_kernel(
