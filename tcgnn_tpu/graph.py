@@ -38,11 +38,13 @@ from tcgnn_tpu.ops.spmm import (
     bd_scatter_weights,
     bd_score_tiles,
     bd_sfused,
+    bd_sfused_bwd,
     build_a_tiles,
     build_bd_pack,
     build_struct_tiles,
     spmm_block_diag,
     spmm_sfused,
+    spmm_sfused_bwd,
     spmm_tc,
     spmm_tc_blockout,
     spmm_tc_dense,
@@ -627,35 +629,35 @@ class TiledGraph:
         # AGNN's edge attention is  att_e = c_h * e_e  with e = SDDMM(x), so
         # the head-averaged aggregation is  mean(c) * (A ⊙ S) x  with
         # S = X Xᵀ.  On symmetric graphs every forward/backward term of that
-        # op is ONE pass of the score-fused kernels (`ops.spmm.spmm_sfused`
-        # / `bd_sfused`): score tiles are formed in VMEM and never exist in
+        # op rides the score-fused kernels (`ops.spmm.spmm_sfused` /
+        # `bd_sfused`): score tiles are formed in VMEM and never exist in
         # HBM, and the backward's column-space term collapses to a regular
-        # pass via (A ⊙ T)ᵀ = A ⊙ Tᵀ (A symmetric).  Per layer: one fused
-        # pass forward, three backward — the same cost class as GCN's SpMM,
-        # matching the reference's AGNN/GCN kernel parity
-        # (TCGNN_kernel.cu:459-578 vs 336-454).
+        # pass via (A ⊙ T)ᵀ = A ⊙ Tᵀ (A symmetric).  The whole backward —
+        # all three dx terms AND the forward product u (for d attention) —
+        # is ONE pass of the fused-backward kernels (`spmm_sfused_bwd` /
+        # `bd_sfused_bwd`), so a layer costs one fused pass forward + one
+        # backward, the same pass count as GCN's SpMM, matching the
+        # reference's AGNN/GCN kernel parity (TCGNN_kernel.cu:459-578 vs
+        # 336-454); no residual beyond x itself is saved.
         agnn_aggregate = None
 
-        def _make_sfused_agnn(core):
+        def _make_sfused_agnn(core, core_bwd):
             @jax.custom_vjp
             def agnn_aggregate(x, att_w):
                 return jnp.mean(att_w) * core(x, x, x)
 
             def agnn_fwd(x, att_w):
-                u = core(x, x, x)
-                return jnp.mean(att_w) * u, (x, att_w, u)
+                return agnn_aggregate(x, att_w), (x, att_w)
 
             def agnn_bwd(res, dy):
-                x, att_w, u = res
+                x, att_w = res
                 cbar = jnp.mean(att_w)
                 # dx = cbar * [(A⊙S) dy + (A⊙T) x + (A⊙Tᵀ) x] with
                 # S_ij = <x_i, x_j>, T_ij = <dy_i, x_j>; Tᵀ is the same
-                # kernel with the score operands swapped.  The saved
-                # forward product u = (A⊙S) x gives d att directly.
-                t1 = core(x, x, dy)
-                t2a = core(dy, x, x)
-                t2b = core(x, dy, x)
-                dx = cbar * (t1 + t2a + t2b)
+                # score with the operands swapped.  One fused kernel pass
+                # returns the sum plus u = (A⊙S) x for d attention.
+                dx3, u = core_bwd(x, dy)
+                dx = cbar * dx3
                 d_cbar = jnp.vdot(dy.astype(jnp.float32), u)
                 datt = jnp.full(att_w.shape, d_cbar / att_w.size, att_w.dtype)
                 return dx, datt
@@ -691,12 +693,27 @@ class TiledGraph:
                         )
                     return out
 
-                agnn_aggregate = _make_sfused_agnn(core)
+                def core_bwd(x, dy):
+                    dx3, u = bd_sfused_bwd(
+                        x, dy, bd_tiles, offsets=offs, cfg=cfg,
+                        interpret=interpret,
+                    )
+                    if res_meta is not None:
+                        dx3_r, u_r = spmm_sfused_bwd(
+                            x, dy, res_meta, res_a, interpret=interpret
+                        )
+                        dx3, u = dx3 + dx3_r, u + u_r
+                    return dx3, u
+
+                agnn_aggregate = _make_sfused_agnn(core, core_bwd)
             elif meta is not None:
                 agnn_aggregate = _make_sfused_agnn(
                     lambda l, r, v: spmm_sfused(
                         l, r, v, meta, a_struct, interpret=interpret
-                    )
+                    ),
+                    lambda x, dy: spmm_sfused_bwd(
+                        x, dy, meta, a_struct, interpret=interpret
+                    ),
                 )
             # else: BD full coverage with an offset outside the halo bound —
             # AGNN falls back to the per-edge BD ops above (correct, slower).

@@ -930,6 +930,143 @@ def bd_sfused(
 
 
 # ---------------------------------------------------------------------------
+# Fused 3-term AGNN BACKWARD, block-diagonal space: one pass computes
+#
+#     dx3 = (C⊙S)@dy + (C⊙T)@x + (C⊙U)@x      and      u = (C⊙S)@x
+#
+# with S = x@xᵀ, T = dy@xᵀ, U = x@dyᵀ restricted to the packed diagonals.
+# Running the three dx terms as separate `bd_sfused` passes re-reads the
+# slabs 5× and makes XLA materialize a distinct lane-padded copy of x/dy
+# per call (the YeastH f32 step OOM'd HBM on exactly those pads); fused,
+# each slab is read once and (T+U) shares a value matmul — 6 matmuls per
+# tile for all four terms.  `u` costs one of those matmuls and frees the
+# forward from saving any residual: d attention = <dy, u> is recovered
+# here instead.
+# ---------------------------------------------------------------------------
+def _bd_sfused_bwd_kernel(
+    c_ref, x0, x1, x2, y0, y1, y2, dx_ref, u_ref,
+    *, bn, group, offsets, compute_dtype,
+):
+    prec = _mxu_precision(compute_dtype)
+    ct = compute_dtype
+    slab_x = jnp.concatenate([x0[:], x1[:], x2[:]], axis=0)  # [3*G*bn, d]
+    slab_y = jnp.concatenate([y0[:], y1[:], y2[:]], axis=0)
+    dn = (((1,), (1,)), ((), ()))
+    for g in range(group):
+        base = (group + g) * bn
+        xw = slab_x[base : base + bn].astype(ct)
+        dyw = slab_y[base : base + bn].astype(ct)
+        xs = jnp.concatenate(
+            [slab_x[base + k * bn : base + (k + 1) * bn] for k in offsets],
+            axis=0,
+        ).astype(ct)  # [K*bn, d]
+        dys = jnp.concatenate(
+            [slab_y[base + k * bn : base + (k + 1) * bn] for k in offsets],
+            axis=0,
+        ).astype(ct)
+        s = jax.lax.dot_general(
+            xw, xs, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        t = jax.lax.dot_general(
+            dyw, xs, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        w2 = jax.lax.dot_general(
+            xw, dys, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        c = c_ref[g].astype(ct)
+        cs = c * s.astype(ct)
+        dx_ref[g * bn : (g + 1) * bn] = jnp.dot(
+            cs, dys, preferred_element_type=jnp.float32, precision=prec
+        ) + jnp.dot(
+            c * (t + w2).astype(ct), xs,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        u_ref[g * bn : (g + 1) * bn] = jnp.dot(
+            cs, xs, preferred_element_type=jnp.float32, precision=prec
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "cfg", "interpret")
+)
+def _bd_sfused_bwd_padded(x, dy, tiles, *, offsets, cfg, interpret):
+    bp, bn = tiles.shape[0], tiles.shape[1]
+    k = len(offsets)
+    g = BD_BIN_GROUP
+    assert bp % g == 0, (bp, g)
+    assert max(abs(o) for o in offsets) <= g, offsets
+    ct = cfg.compute_dtype
+    d = x.shape[1]
+    d_pad = _round_up(d, 128) if d >= 128 else _round_up(max(d, 1), 8)
+    p = g * bn
+
+    def panelize(a):
+        return jnp.pad(
+            a.astype(ct), ((p, (bp + g) * bn - a.shape[0]), (0, d_pad - d))
+        )
+
+    xp = panelize(x)
+    yp = panelize(dy)
+    panel = lambda off: pl.BlockSpec(
+        (p, d_pad), lambda i, _off=off: (i + _off, 0)
+    )
+    kernel = functools.partial(
+        _bd_sfused_bwd_kernel, bn=bn, group=g, offsets=offsets,
+        compute_dtype=ct,
+    )
+    out_sds = jax.ShapeDtypeStruct((bp * bn, d_pad), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(bp // g,),
+        in_specs=[
+            pl.BlockSpec((g, bn, k * bn), lambda i: (i, 0, 0)),
+            panel(0), panel(1), panel(2),
+            panel(0), panel(1), panel(2),
+        ],
+        out_specs=[
+            pl.BlockSpec((p, d_pad), lambda i: (i, 0)),
+            pl.BlockSpec((p, d_pad), lambda i: (i, 0)),
+        ],
+        out_shape=[out_sds, out_sds],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * bp * bn * k * bn * d_pad,
+            bytes_accessed=tiles.size * tiles.dtype.itemsize
+            + 6 * bp * bn * d_pad * xp.dtype.itemsize
+            + 2 * bp * bn * d_pad * 4,
+            transcendentals=0,
+        ),
+    )(tiles, xp, xp, xp, yp, yp, yp)
+
+
+def bd_sfused_bwd(
+    x: jnp.ndarray,
+    dy: jnp.ndarray,
+    tiles: jnp.ndarray,
+    *,
+    offsets: tuple,
+    cfg: TileConfig,
+    interpret: bool | None = None,
+):
+    """Fused AGNN backward over packed diagonal tiles.
+
+    Returns ``(dx3, u)`` with ``dx3 = (C⊙S)@dy + (C⊙T)@x + (C⊙U)@x`` and
+    ``u = (C⊙S)@x`` (the forward product, for the attention gradient) —
+    see `_bd_sfused_bwd_kernel`.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    n, d = x.shape
+    dx3, u = _bd_sfused_bwd_padded(
+        x, dy, tiles, offsets=offsets, cfg=cfg, interpret=interpret
+    )
+    return dx3[:n, :d], u[:n, :d]
+
+
+# ---------------------------------------------------------------------------
 # Fused score-weighted kernels (the AGNN tile-space path): the weighted
 # A-tile is formed IN-KERNEL as  struct_tile * score_tile  — never
 # materialized in HBM.  Score tiles come straight from the dense SDDMM;
@@ -1176,6 +1313,151 @@ def spmm_sfused(
         cfg=meta.config, num_windows=meta.num_windows, interpret=interpret,
     )
     return out[:n, :d]
+
+
+# ---------------------------------------------------------------------------
+# Fused 3-term AGNN backward, condensed-tile space — the `spmm_sfused`
+# counterpart of `_bd_sfused_bwd_kernel` (same algebra, same reasons):
+# one pass over the SGT tiles yields the full dx sum AND the forward
+# product u, reading each gathered slab once instead of 5×.
+# ---------------------------------------------------------------------------
+def _spmm_sfused_bwd_kernel(
+    gwin_ref, gfirst_ref, a_ref, xw_ref, dyw_ref, xg_ref, dyg_ref,
+    dx_ref, u_ref, *, blk_h, blk_w, group, compute_dtype,
+):
+    i = pl.program_id(0)
+    prec = _mxu_precision(compute_dtype)
+    ct = compute_dtype
+    xw = xw_ref[:].astype(ct)    # [blk_h, d] — the group's window rows
+    dyw = dyw_ref[:].astype(ct)
+    acc_dx = jnp.zeros(dx_ref.shape, jnp.float32)
+    acc_u = jnp.zeros(u_ref.shape, jnp.float32)
+    dn = (((1,), (1,)), ((), ()))
+    for k in range(group):
+        xg_k = xg_ref[k * blk_w : (k + 1) * blk_w, :].astype(ct)
+        dyg_k = dyg_ref[k * blk_w : (k + 1) * blk_w, :].astype(ct)
+        a = a_ref[k].astype(ct)
+        s = jax.lax.dot_general(
+            xw, xg_k, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        t = jax.lax.dot_general(
+            dyw, xg_k, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        w2 = jax.lax.dot_general(
+            xw, dyg_k, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        cs = a * s.astype(ct)
+        acc_dx += jnp.dot(
+            cs, dyg_k, preferred_element_type=jnp.float32, precision=prec
+        ) + jnp.dot(
+            a * (t + w2).astype(ct), xg_k,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc_u += jnp.dot(
+            cs, xg_k, preferred_element_type=jnp.float32, precision=prec
+        )
+
+    @pl.when(gfirst_ref[i] == 1)
+    def _():
+        dx_ref[:] = acc_dx
+        u_ref[:] = acc_u
+
+    @pl.when(gfirst_ref[i] == 0)
+    def _():
+        dx_ref[:] += acc_dx
+        u_ref[:] += acc_u
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_windows", "interpret")
+)
+def _spmm_sfused_bwd_padded(
+    x, dy, a_tiles, col_ids, block_window, block_first,
+    *, cfg, num_windows, interpret,
+):
+    n_blocks = a_tiles.shape[0]
+    d = x.shape[1]
+    group = cfg.block_group
+    assert n_blocks % group == 0, (n_blocks, group)
+    d_pad = _round_up(d, 128) if d >= 128 else _round_up(max(d, 1), 8)
+    gwin = block_window[::group]
+    gfirst = block_first[::group]
+    if cfg.compute_dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+        dy = dy.astype(jnp.bfloat16)
+
+    def window_pad(a):
+        return jnp.pad(
+            a, ((0, num_windows * cfg.blk_h - a.shape[0]), (0, d_pad - d))
+        )
+
+    def gather(a):
+        ag = jnp.take(a, col_ids, axis=0, fill_value=0)
+        if d_pad != d:
+            ag = jnp.pad(ag, ((0, 0), (0, d_pad - d)))
+        return ag
+
+    kernel = functools.partial(
+        _spmm_sfused_bwd_kernel, blk_h=cfg.blk_h, blk_w=cfg.blk_w,
+        group=group, compute_dtype=cfg.compute_dtype,
+    )
+    win_spec = pl.BlockSpec((cfg.blk_h, d_pad), lambda b, w_, f_: (w_[b], 0))
+    slab_spec = pl.BlockSpec(
+        (group * cfg.blk_w, d_pad), lambda b, w_, f_: (b, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks // group,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, cfg.blk_h, cfg.blk_w), lambda b, w_, f_: (b, 0, 0)
+            ),
+            win_spec, win_spec, slab_spec, slab_spec,
+        ],
+        out_specs=[win_spec, win_spec],
+    )
+    out_sds = jax.ShapeDtypeStruct(
+        (num_windows * cfg.blk_h, d_pad), jnp.float32
+    )
+    xg = gather(x)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[out_sds, out_sds],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n_blocks * cfg.blk_h * cfg.blk_w * d_pad,
+            bytes_accessed=2 * xg.size * xg.dtype.itemsize
+            + 2 * n_blocks * cfg.blk_h * xg.dtype.itemsize * d_pad
+            + a_tiles.size * a_tiles.dtype.itemsize
+            + 2 * num_windows * cfg.blk_h * d_pad * 4,
+            transcendentals=0,
+        ),
+    )(gwin, gfirst, a_tiles, window_pad(x), window_pad(dy), xg, gather(dy))
+
+
+def spmm_sfused_bwd(
+    x: jnp.ndarray,
+    dy: jnp.ndarray,
+    meta: JaxSGTMeta,
+    a_tiles: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+):
+    """Fused AGNN backward over SGT condensed tiles; returns ``(dx3, u)``
+    — see `_spmm_sfused_bwd_kernel` / `bd_sfused_bwd`."""
+    if interpret is None:
+        interpret = default_interpret()
+    n, d = x.shape
+    dx3, u = _spmm_sfused_bwd_padded(
+        x, dy, a_tiles,
+        meta.col_ids, meta.block_window, meta.block_first_in_window,
+        cfg=meta.config, num_windows=meta.num_windows, interpret=interpret,
+    )
+    return dx3[:n, :d], u[:n, :d]
 
 
 def _spmm_colspace_kernel(
