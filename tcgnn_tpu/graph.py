@@ -63,6 +63,11 @@ from tcgnn_tpu.sgt.translate import (
 # graph falls back to the memory-lean chunk kernels.
 DENSE_TILE_BUDGET_BYTES = 8 << 30
 
+# Structural tile arrays at or below this size are built host-side (fused
+# into the translate pass) and shipped as one async upload; larger arrays
+# are scatter-built on device from the 4-byte/edge flat positions.
+HOST_TILE_BUILD_LIMIT = 64 << 20
+
 
 class TiledGraph:
     """Device-resident SGT-tiled graph.
@@ -163,9 +168,16 @@ class TiledGraph:
             raise ValueError("dense-tile index space overflows int32 for this graph")
         self.dense_tiles = dense_tiles
 
+        # Host-path graphs (tile bytes under the host_build_limit below)
+        # fuse the int8 structural-tile build into the translate pass
+        # itself (the native C++ pass emits them near-free), so prep is
+        # pure host work + async uploads.
+        tile_bytes = config.blk_h * config.blk_w
+        host_tiles_f = dense_tiles and nb_f * tile_bytes <= HOST_TILE_BUILD_LIMIT
+        host_tiles_t = dense_tiles and nb_t * tile_bytes <= HOST_TILE_BUILD_LIMIT
         host_meta = sparse_graph_translate(
             row_pointers, column_index, num_nodes, config,
-            emit_chunks=not dense_tiles, build_tiles=False,
+            emit_chunks=not dense_tiles, build_tiles=host_tiles_f,
         )
         self.host_meta = host_meta
         if symmetric:
@@ -173,7 +185,7 @@ class TiledGraph:
         else:
             self.host_meta_t = sparse_graph_translate(
                 t_ptr, t_idx, num_nodes, config,
-                emit_chunks=not dense_tiles, build_tiles=False,
+                emit_chunks=not dense_tiles, build_tiles=host_tiles_t,
             )
 
         # Past the one-shot chunk kernels' SMEM-prefetch / condensed-slab
@@ -203,42 +215,44 @@ class TiledGraph:
         self.column_index = jnp.asarray(column_index.astype(np.int32))
 
         if dense_tiles:
-            # Structural tiles are static per graph, built ON DEVICE from
-            # the per-edge flat positions (4 bytes/edge upload) instead of
-            # materializing and shipping the dense [B, blk_h, blk_w] array
-            # (blk_h*blk_w bytes per block — amazon0601: 460 MB at tunnel
-            # bandwidth).  Values are small duplicate-edge counts, so int8
-            # storage is exact below the overflow gate and quarters the
-            # kernel's HBM tile traffic (the kernel upcasts on load); one
-            # scalar fetch of the count max picks the storage dtype, same
-            # rule as the host build (sgt/translate.py).
-            # The device scatter's compile is bucketed over BOTH shapes
-            # (build_struct_tiles) and lands in the persistent compile
-            # cache, so its steady-state cost is one small upload
-            # (4 bytes/edge) + a ~ms scatter. Only keep the host build for
-            # tiny tile arrays where the upload is already negligible and
-            # a cold-cache compile would dominate.
-            host_build_limit = 4 << 20
-
+            # Structural tiles: NOTHING in this prep stage syncs on the
+            # device.  Small/medium tile arrays are built host-side
+            # (vectorized bincount) and shipped as one ASYNC upload; big
+            # arrays (amazon0601: 460 MB through the tunnel) are built ON
+            # DEVICE from the per-edge flat positions (4 bytes/edge) by a
+            # single scatter program whose int8 storage cast is fused in —
+            # the int8-exactness decision (duplicate-count max <= 127, same
+            # rule as the host build) comes from the HOST translate pass,
+            # so prep never fetches a device value.  The scatter compiles
+            # per bucketed shape (build_struct_tiles) and lands in the
+            # persistent compile cache; loading even a cached executable
+            # through the tunnel costs ~1 s per process, hence the generous
+            # host window below (the host bincount is ~10 ms per 22 M slots
+            # and the upload overlaps the warm-up epochs).
             def to_dev(meta_jax, host_meta):
                 small = (
                     host_meta.num_blocks * config.blk_h * config.blk_w
-                    <= host_build_limit
+                    <= HOST_TILE_BUILD_LIMIT
                 )
                 if small or meta_jax.edge_pos is None:
                     tiles = build_a_tiles_host(host_meta)
                     if tiles.max(initial=0.0) <= 127:
                         return jnp.asarray(tiles.astype(np.int8))
-                    return jnp.asarray(tiles).astype(config.compute_dtype)
-                tiles_i32, mx = build_struct_tiles(
+                    return jnp.asarray(
+                        tiles.astype(jnp.dtype(config.compute_dtype))
+                    )
+                dt = (
+                    jnp.int8
+                    if host_meta.max_duplicate_count() <= 127
+                    else config.compute_dtype
+                )
+                return build_struct_tiles(
                     meta_jax.edge_pos,
                     num_blocks=meta_jax.num_blocks,
                     blk_h=config.blk_h,
                     blk_w=config.blk_w,
+                    out_dtype=dt,
                 )
-                if int(mx) <= 127:
-                    return tiles_i32.astype(jnp.int8)
-                return tiles_i32.astype(config.compute_dtype)
 
         else:
             to_dev = None

@@ -583,24 +583,35 @@ def spmm_tc_blockout(
     return out[:n, :d]
 
 
-@functools.partial(jax.jit, static_argnames=("padded_blocks", "blk_h", "blk_w"))
-def _build_struct_tiles_padded(edge_pos, *, padded_blocks, blk_h, blk_w):
+@functools.partial(
+    jax.jit, static_argnames=("padded_blocks", "blk_h", "blk_w", "out_dtype")
+)
+def _build_struct_tiles_padded(
+    edge_pos, *, padded_blocks, blk_h, blk_w, out_dtype=None
+):
     flat = jnp.zeros((padded_blocks * blk_h * blk_w,), jnp.int32)
     # padding slots carry an out-of-range sentinel; drop them explicitly
     flat = flat.at[edge_pos].add(1, mode="drop")
     tiles = flat.reshape(padded_blocks, blk_h, blk_w)
+    if out_dtype is not None:
+        # Storage dtype decided host-side (duplicate-count max is known from
+        # the translate pass) — the cast rides the scatter program, so prep
+        # dispatches ONE device program and never syncs on a value.
+        return tiles.astype(out_dtype)
     return tiles, jnp.max(tiles)
 
 
-def build_struct_tiles(edge_pos, *, num_blocks, blk_h, blk_w):
+def build_struct_tiles(edge_pos, *, num_blocks, blk_h, blk_w, out_dtype=None):
     """Structural A-tiles [B, blk_h, blk_w] from per-edge flat positions.
 
     Runs ON DEVICE: the host ships ``edge_pos`` (4 bytes/edge — needed by
     the weighted paths anyway) instead of the materialized dense tile
     array (``blk_h*blk_w`` bytes per block; amazon0601: 460 MB through the
-    slow tunnel).  Returns int32 duplicate-edge counts plus their max so
-    the caller can downcast to int8 storage exactly (mirrors the host
-    build's overflow rule, ``sgt/translate.py``).
+    slow tunnel).  With ``out_dtype`` set, the storage cast is fused into
+    the scatter program and only the tile array is returned — the caller
+    decides int8-exactness host-side (``sgt/translate.py`` overflow rule)
+    and nothing forces a device sync.  Without it, returns int32 counts
+    plus their max for callers that must probe on device.
 
     The scatter compiles per INPUT+OUTPUT SHAPE and a remote compile
     costs seconds through the tunnel, so BOTH dimensions are bucketed to
@@ -618,9 +629,13 @@ def build_struct_tiles(edge_pos, *, num_blocks, blk_h, blk_w):
     if e_bucket != e:
         sentinel = padded * blk_h * blk_w  # out of range -> dropped
         edge_pos = jnp.pad(edge_pos, (0, e_bucket - e), constant_values=sentinel)
-    tiles, mx = _build_struct_tiles_padded(
-        edge_pos, padded_blocks=padded, blk_h=blk_h, blk_w=blk_w
+    out = _build_struct_tiles_padded(
+        edge_pos, padded_blocks=padded, blk_h=blk_h, blk_w=blk_w,
+        out_dtype=out_dtype,
     )
+    if out_dtype is not None:
+        return out[:num_blocks]
+    tiles, mx = out
     return tiles[:num_blocks], mx
 
 

@@ -125,6 +125,25 @@ class SGTMeta:
         """Reference's `Exp_Edges` = TC_Blocks * blk_h * blk_w."""
         return self.num_real_blocks * self.config.blk_h * self.config.blk_w
 
+    def max_duplicate_count(self) -> int:
+        """Largest number of parallel edges landing on one tile slot.
+
+        Decides int8-exactness of the structural tiles HOST-side (the
+        device scatter then needs no value sync in prep).  One sort of
+        ``edge_pos`` — simple graphs (every AE graph) return 1 via the
+        all-unique fast path.
+        """
+        if self.num_edges <= 1:
+            return 1
+        sp = np.sort(self.edge_pos)
+        dup = sp[1:] == sp[:-1]
+        if not dup.any():
+            return 1
+        # Longest run of equal values = max duplicate count.
+        changes = np.flatnonzero(np.diff(sp) != 0)
+        run_bounds = np.concatenate(([-1], changes, [len(sp) - 1]))
+        return int(np.diff(run_bounds).max())
+
     def as_jax(self, lite: bool = False):
         """Device-resident view of the metadata (jnp arrays).
 
