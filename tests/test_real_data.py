@@ -88,3 +88,12 @@ def test_train_cli_end_to_end_on_npz(tmp_path, capsys):
     assert "test" in accs, out
     # planted community task: far above the 0.25 chance level
     assert accs["test"] > 0.5, accs
+
+
+def test_accuracy_parity_harness_on_golden_fixture():
+    """The checked-in golden .npz + parity script: tiled kernels match the
+    dense oracle on forward logits and trained accuracy (VERDICT r2 #7)."""
+    from tcgnn_tpu.bench import accuracy_parity
+
+    failures = accuracy_parity.main(["--epochs", "60", "--models", "gcn"])
+    assert failures == 0
