@@ -34,3 +34,38 @@ def make_mesh(n_graph: int | None = None, n_feature: int = 1, devices=None) -> M
         )
     dev = np.asarray(devices[:n]).reshape(n_graph, n_feature)
     return Mesh(dev, ("graph", "feature"))
+
+
+def make_mesh_two_level(
+    n_hosts: int,
+    chips_per_host: int,
+    n_feature: int = 1,
+    devices=None,
+) -> Mesh:
+    """('graph', 'feature') mesh for G beyond one host, laid out HOST-MAJOR.
+
+    The graph axis spans ``n_hosts * chips_per_host`` shards with shard
+    ``g`` placed on host ``g // chips_per_host``.  Because the partition
+    assigns *contiguous* window ranges to consecutive graph indices and
+    bandwidth-ordered graphs exchange halo almost exclusively between
+    neighboring shards, this placement keeps the bulk of the halo
+    all_to_all on intra-host ICI; only shard pairs straddling a host
+    boundary ride DCN (quantify with
+    :func:`tcgnn_tpu.parallel.comm_stats.dcn_halo_fraction`).
+
+    Axis names and every collective are IDENTICAL to :func:`make_mesh` —
+    the hierarchy is pure device placement, so all distributed machinery
+    composes unchanged.  ``jax.devices()`` orders devices process-major in
+    real multi-host runs, which is exactly the order consumed here.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_graph = n_hosts * chips_per_host
+    n = n_graph * n_feature
+    if n > len(devices):
+        raise ValueError(
+            f"two-level mesh {n_hosts}x{chips_per_host}x{n_feature} needs "
+            f"{n} devices, have {len(devices)}"
+        )
+    dev = np.asarray(devices[:n]).reshape(n_graph, n_feature)
+    return Mesh(dev, ("graph", "feature"))

@@ -621,6 +621,13 @@ def build_halo(
         owner = remote // rows_per_shard
         requests.append([remote[owner == t] for t in range(G)])
 
+    # Per (requesting, owning) shard pair: rows moved by the halo
+    # all_to_all — the measured-traffic ground truth (comm_stats /
+    # two-level-mesh DCN accounting reads this).
+    pair_counts = np.array(
+        [[len(requests[s][t]) for t in range(G)] for s in range(G)],
+        np.int64,
+    )
     H = max((len(r) for reqs in requests for r in reqs), default=0)
     H = max(int(H), 1)
     send_idx = np.zeros((G, G, H), np.int32)
@@ -673,6 +680,7 @@ def build_halo(
         "col_ids_ext": col_ids_ext,
         "overlap_remote_col_ids_ext": ov_ext,
         "split_col_ids_ext": sp_ext,
+        "pair_counts": pair_counts,
     }
 
 

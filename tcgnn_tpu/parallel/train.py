@@ -117,4 +117,9 @@ def make_distributed_train_step(
     def step(params, opt_state, key):
         return _step(params, opt_state, key, x, y, mask, garr, l1_agg)
 
+    # Instrumentation hooks (parallel.comm_stats): the underlying jit and
+    # its closed-over operands, so the compiled step's HLO can be inspected
+    # (measured collective bytes) without re-deriving the argument list.
+    step.jitted = _step
+    step.bound_args = (x, y, mask, garr, l1_agg)
     return step
