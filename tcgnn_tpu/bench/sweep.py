@@ -98,18 +98,29 @@ def main(argv=None):
     from tcgnn_tpu.bench import baseline as xla_baseline
 
     if args.single_kernel:
-        # single-kernel sweep: dim 96 like 2_tcgnn_single_kernel.py:27-33
+        # single-kernel sweep: dim 96 like 2_tcgnn_single_kernel.py:27-33,
+        # extended with the per-kernel utilization contract (BASELINE.md):
+        # edges/s, useful TFLOP/s, executed tile TFLOP/s, MFU vs the bf16
+        # MXU nominal peak (utils.profiling.kernel_report).
         out = "2_tcgnn_single_kernel.csv"
         with open(out, "w") as f:
-            f.write("dataset,SAG avg (ms)\n")
+            f.write(
+                "dataset,SAG avg (ms),edges_per_s,useful_TFLOPs,"
+                "tile_TFLOPs,MFU (%)\n"
+            )
             for name, _, classes in table:
                 print(f"=== {name} (single kernel) ===", flush=True)
-                ms = run_one(
+                r = run_one(
                     tcgnn_train.main, name, 96, classes, args,
                     extra=("--single_kernel",),
                 )
-                if ms is not None:
-                    f.write(f"{name},{ms:.3f}\n")
+                if r is not None:
+                    f.write(
+                        f"{name},{r['ms']:.3f},{r['edges_per_s']:.4g},"
+                        f"{r['useful_tflops']:.4f},{r['tile_tflops']:.3f},"
+                        f"{r['mfu_pct']:.2f}\n"
+                    )
+                    f.flush()
         print(f"wrote {out}")
         return []
 

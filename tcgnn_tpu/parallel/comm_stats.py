@@ -65,22 +65,28 @@ def collective_bytes_from_hlo(hlo_text: str) -> Dict[str, Dict[str, int]]:
     out: Dict[str, Dict[str, int]] = {
         v: {"count": 0, "bytes": 0} for v in _COLLECTIVES.values()
     }
+    # Defining lines look like "%name = <shape> <op>(operands...)".  The
+    # shape may be a long tuple holding "/*index=N*/" comments (which
+    # contain '='), so the op is located by searching for "<collective>("
+    # after the '=' and the shape is everything between them; operand
+    # references ("...(%all-to-all.1), index=0") never have '(' directly
+    # after the op substring, so they don't false-positive.
+    op_re = re.compile(
+        r"\b(all-to-all|all-gather|all-reduce|reduce-scatter|"
+        r"collective-permute)(-start|-done)?(\.\d+)?\("
+    )
     for line in hlo_text.splitlines():
-        line = line.strip()
-        # "  name = <shape> all-to-all(...)" (possibly "-start"/"-done")
-        m = re.match(r"\S+\s*=\s*(\(?[^=]*?\)?)\s+([a-z\-]+)\(", line)
+        eq = line.find("= ")
+        if eq < 0:
+            continue
+        m = op_re.search(line, eq)
         if not m:
             continue
-        shape_text, op = m.group(1), m.group(2)
-        if op.endswith("-done"):
+        if m.group(2) == "-done":
             continue
-        if op.endswith("-start"):
-            op = op[: -len("-start")]
-        kind = _COLLECTIVES.get(op)
-        if kind is None:
-            continue
+        kind = _COLLECTIVES[m.group(1)]
         out[kind]["count"] += 1
-        out[kind]["bytes"] += _shape_bytes(shape_text)
+        out[kind]["bytes"] += _shape_bytes(line[eq + 2 : m.start()])
     return out
 
 

@@ -176,7 +176,11 @@ def profile_sag(graph, x, num_rounds: int = 200):
 
     Timing ends on a *scalar* fetch everywhere: on tunneled TPU backends
     ``block_until_ready`` can return before execution finishes.
+
+    Returns ``(seconds_per_round, kernel_report_stats)``.
     """
+    from tcgnn_tpu.utils import profiling
+
     garr = graph.arrays()
 
     @jax.jit
@@ -214,8 +218,19 @@ def profile_sag(graph, x, num_rounds: int = 200):
             synced * 1e3, sync_overhead * 1e3
         )
     )
+    stats = profiling.kernel_report(
+        graph.num_edges, graph.exp_edges, x.shape[1], pipelined
+    )
+    print(
+        "=> SAG edges/s: {:.3e}  useful TFLOP/s: {:.3f}  "
+        "tile TFLOP/s: {:.2f}  MFU: {:.1f}% (bf16 peak {:.0f})".format(
+            stats["edges_per_s"], stats["useful_tflops"],
+            stats["tile_tflops"], stats["mfu_pct"],
+            profiling.PEAK_BF16_TFLOPS,
+        )
+    )
     print()
-    return pipelined
+    return pipelined, stats
 
 
 def train_distributed(args, ds, cfg):
@@ -241,7 +256,8 @@ def train_distributed(args, ds, cfg):
     y = graph.shard_nodes(ds.y.astype(np.int32))
 
     if args.single_kernel:
-        return profile_sag(graph, x) * 1e3
+        ms, stats = profile_sag(graph, x)
+        return {"ms": ms * 1e3, **stats}
 
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
@@ -343,7 +359,8 @@ def main(argv=None):
     y = jnp.asarray(ds.y.astype(np.int32))
 
     if args.single_kernel:
-        return profile_sag(graph, x) * 1e3
+        ms, stats = profile_sag(graph, x)
+        return {"ms": ms * 1e3, **stats}
 
     # ---- model + optimizer -------------------------------------------------
     key = jax.random.PRNGKey(args.seed)

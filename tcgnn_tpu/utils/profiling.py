@@ -31,6 +31,17 @@ def trace(log_dir: str | None):
         yield
 
 
+# v5e nominal MXU bf16 peak.  This tunneled chip measures ~113 TFLOP/s on
+# a plain 8k x 8k XLA matmul; MFU is quoted against the NOMINAL peak so
+# numbers are comparable across chips (the reference's ncu SOL metrics are
+# likewise against nominal, BASELINE.md kernel-utilization table).
+PEAK_BF16_TFLOPS = 197.0
+
+
+def _lane_pad(d: int) -> int:
+    return -(-d // 128) * 128 if d >= 128 else -(-max(d, 1) // 8) * 8
+
+
 def op_stats(num_edges: int, feature_dim: int, seconds: float) -> dict:
     """Throughput stats for one aggregation pass over the whole graph."""
     edges_per_s = num_edges / seconds if seconds > 0 else float("inf")
@@ -38,3 +49,32 @@ def op_stats(num_edges: int, feature_dim: int, seconds: float) -> dict:
     # does more on padded tiles, so this is the end-to-end efficiency view.
     tflops = 2.0 * num_edges * feature_dim / seconds / 1e12 if seconds > 0 else 0.0
     return {"edges_per_s": edges_per_s, "useful_tflops": tflops}
+
+
+def kernel_report(
+    num_edges: int,
+    exp_edges: int,
+    feature_dim: int,
+    seconds: float,
+    peak_tflops: float = PEAK_BF16_TFLOPS,
+) -> dict:
+    """Per-kernel utilization: the BASELINE.md metric contract.
+
+    Two rates bracket the kernel:
+
+    * ``useful_tflops`` — 2 * E * d / t: the algorithmic work (what a
+      perfect zero-padding sparse engine would count);
+    * ``tile_tflops`` / ``mfu_pct`` — 2 * Exp_Edges * d_pad / t against
+      the bf16 MXU peak: the dense tile work the kernel actually issues
+      (Exp_Edges = TC_Blocks * blk_h * blk_w, the reference's own
+      tile-inflation statistic, TCGNN.cpp:225).  The ratio of the two is
+      the SGT padding overhead.
+    """
+    stats = op_stats(num_edges, feature_dim, seconds)
+    d_pad = _lane_pad(feature_dim)
+    tile_tflops = (
+        2.0 * exp_edges * d_pad / seconds / 1e12 if seconds > 0 else 0.0
+    )
+    stats["tile_tflops"] = tile_tflops
+    stats["mfu_pct"] = 100.0 * tile_tflops / peak_tflops
+    return stats
