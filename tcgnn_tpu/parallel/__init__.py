@@ -1,4 +1,8 @@
-from tcgnn_tpu.parallel.mesh import make_mesh
+from tcgnn_tpu.parallel.mesh import make_mesh, make_mesh_two_level
+from tcgnn_tpu.parallel.comm_stats import (
+    dcn_halo_fraction,
+    step_collective_bytes,
+)
 from tcgnn_tpu.parallel.partition import partition_csr, partition_graph, ShardedSGTMeta
 from tcgnn_tpu.parallel.graph import (
     DistributedTiledGraph,
@@ -12,6 +16,9 @@ from tcgnn_tpu.parallel.train import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_two_level",
+    "dcn_halo_fraction",
+    "step_collective_bytes",
     "partition_csr",
     "partition_graph",
     "ShardedSGTMeta",
