@@ -69,6 +69,20 @@ def load():
         lib.sgt_naive_count.restype = None
         lib.sgt_rcm.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
         lib.sgt_rcm.restype = None
+        lib.sgt_transpose.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p, i64p, i32p, i32p, i64p,
+        ]
+        lib.sgt_transpose.restype = None
+        lib.sgt_chunk_count.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+        ]
+        lib.sgt_chunk_count.restype = None
+        lib.sgt_chunk_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            i64p, i64p, i32p, i32p, i32p, i32p, i64p,
+        ]
+        lib.sgt_chunk_fill.restype = None
         lib.sgt_community.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
         lib.sgt_community.restype = None
         _lib = lib
@@ -128,6 +142,68 @@ def community(sym_row_ptr: np.ndarray, sym_col_idx: np.ndarray) -> np.ndarray:
             out,
         )
     return out.astype(np.int64)
+
+
+def transpose(row_ptr: np.ndarray, col_idx: np.ndarray, num_cols: int):
+    """Counting-sort CSR transpose: (t_ptr, t_cols, t_src), CSR-sorted."""
+    lib = load()
+    n_rows = len(row_ptr) - 1
+    nnz = len(col_idx)
+    t_ptr = np.zeros(num_cols + 1, np.int64)
+    t_cols = np.zeros(nnz, np.int32)
+    t_src = np.zeros(nnz, np.int32)
+    if nnz:
+        lib.sgt_transpose(
+            n_rows, num_cols, nnz,
+            np.ascontiguousarray(row_ptr, np.int64),
+            np.ascontiguousarray(col_idx, np.int32),
+            t_ptr, t_cols, t_src, np.zeros(num_cols, np.int64),
+        )
+    return t_ptr, t_cols, t_src
+
+
+def chunk_layout(
+    edge_pos: np.ndarray,
+    num_blocks: int,
+    blk_h: int,
+    blk_w: int,
+    ec: int,
+    row_sentinel: int,
+):
+    """Uniform chunk layout from per-edge flat slots (see sgt.cpp).
+
+    Returns (chunk_r, chunk_c, chunk_edge_id, edge_perm, chunks_per_block,
+    block_chunk_start) matching the numpy layout in translate.py exactly.
+    """
+    lib = load()
+    nnz = len(edge_pos)
+    tile = blk_h * blk_w
+    edge_pos = np.ascontiguousarray(edge_pos, np.int64)
+    edges_per_block = np.zeros(num_blocks, np.int64)
+    if nnz:
+        lib.sgt_chunk_count(nnz, tile, edge_pos, edges_per_block)
+    chunks_per_block = np.maximum(-(-edges_per_block // ec), 1)
+    block_chunk_start = np.zeros(num_blocks + 1, np.int64)
+    np.cumsum(chunks_per_block, out=block_chunk_start[1:])
+    num_chunks = int(block_chunk_start[-1])
+    chunk_r = np.full(num_chunks * ec, row_sentinel, np.int32)
+    chunk_c = np.zeros(num_chunks * ec, np.int32)
+    chunk_edge_id = np.full(num_chunks * ec, nnz, np.int32)
+    edge_perm = np.zeros(nnz, np.int32)
+    if nnz:
+        lib.sgt_chunk_fill(
+            nnz, tile, blk_w, ec, edge_pos, block_chunk_start,
+            chunk_r, chunk_c, chunk_edge_id, edge_perm,
+            np.zeros(num_blocks, np.int64),
+        )
+    return (
+        chunk_r.reshape(num_chunks, ec),
+        chunk_c.reshape(num_chunks, ec),
+        chunk_edge_id.reshape(num_chunks, ec),
+        edge_perm,
+        chunks_per_block,
+        block_chunk_start,
+    )
 
 
 def fill(

@@ -147,9 +147,12 @@ def segment_chunks(
     b_max = int(np.max(np.diff(b_cuts)))
     c_max = max(int(np.max(np.diff(c_cuts))), 1)
 
-    seg_r = np.full((S, c_max, ec), blk_h, np.int32)      # row sentinel
-    seg_c = np.zeros((S, c_max, ec), np.int32)
-    seg_eid = np.full((S, c_max, ec), meta.num_edges, np.int32)
+    # np.empty + explicit pad-tail writes: the copy loop fills [:nc] anyway,
+    # so np.full would touch the ~GB-scale arrays twice (reddit: 1.8 GB of
+    # segment metadata — measured ~7 s of pure np.full).
+    seg_r = np.empty((S, c_max, ec), np.int32)
+    seg_c = np.empty((S, c_max, ec), np.int32)
+    seg_eid = np.empty((S, c_max, ec), np.int32)
     seg_block = np.zeros((S, c_max), np.int32)
     seg_window = np.zeros((S, c_max), np.int32)
     seg_first = np.zeros((S, c_max), np.int32)
@@ -170,6 +173,9 @@ def segment_chunks(
             # first=0: zero contribution, monotone output map.
             seg_window[s, nc:] = int(meta.chunk_window[c1 - 1]) - w0
             seg_first[s, :nc] = meta.chunk_first_in_window[c0:c1]
+        seg_r[s, nc:] = blk_h                 # row sentinel
+        seg_c[s, nc:] = 0
+        seg_eid[s, nc:] = meta.num_edges
         seg_col_ids[s, : (b1 - b0) * blk_w] = meta.col_ids[b0 * blk_w : b1 * blk_w]
 
     # SDDMM score layout moves from [Cn, EC] to [S, C_max, EC]; remap the

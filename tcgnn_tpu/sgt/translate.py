@@ -334,11 +334,8 @@ def sparse_graph_translate(
                     edge_pos, minlength=num_blocks * tile
                 ).astype(np.float32)
             a_tiles = a_flat.reshape(num_blocks, blk_h, blk_w)
-        if emit_chunks:
-            edge_block = edge_pos // tile
-            rem = edge_pos % tile
-            edge_r = (rem // blk_w).astype(np.int32)
-            edge_c = (rem % blk_w).astype(np.int32)
+        # (chunk layout below goes through the native pass directly from
+        # edge_pos; no per-edge r/c materialization needed here)
     else:
         degrees = np.diff(row_pointers)
         edge_row = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
@@ -409,34 +406,49 @@ def sparse_graph_translate(
         )
 
     # ---- uniform chunk layout ----------------------------------------------
-    # Edges sorted by owning block (stable keeps CSR order within a block);
-    # each block's run is padded to a multiple of `ec`; blocks from the same
-    # window stay adjacent so output-tile revisiting is consecutive.
-    order = np.argsort(edge_block, kind="stable")
-    edges_per_block = np.bincount(edge_block, minlength=num_blocks)
-    chunks_per_block = np.maximum(_cdiv(edges_per_block, ec), 1)
-    block_chunk_start = np.zeros(num_blocks + 1, dtype=np.int64)
-    np.cumsum(chunks_per_block, out=block_chunk_start[1:])
-    num_chunks = int(block_chunk_start[-1])
+    # Edges sorted by owning block (CSR order kept within a block); each
+    # block's run is padded to a multiple of `ec`; blocks from the same
+    # window stay adjacent so output-tile revisiting is consecutive.  The
+    # native pass builds the layout in one O(E) scan over edge_pos; the
+    # numpy fallback sorts.
+    if use_native:
+        (
+            chunk_r, chunk_c, chunk_edge_id, edge_perm,
+            chunks_per_block, block_chunk_start,
+        ) = native.chunk_layout(
+            edge_pos, num_blocks, blk_h, blk_w, ec, config.row_sentinel
+        )
+        num_chunks = int(block_chunk_start[-1])
+    else:
+        edge_block = edge_pos // tile
+        rem = edge_pos % tile
+        edge_r = (rem // blk_w).astype(np.int32)
+        edge_c = (rem % blk_w).astype(np.int32)
+        order = np.argsort(edge_block, kind="stable")
+        edges_per_block = np.bincount(edge_block, minlength=num_blocks)
+        chunks_per_block = np.maximum(_cdiv(edges_per_block, ec), 1)
+        block_chunk_start = np.zeros(num_blocks + 1, dtype=np.int64)
+        np.cumsum(chunks_per_block, out=block_chunk_start[1:])
+        num_chunks = int(block_chunk_start[-1])
 
-    # Slot of each (sorted) edge within its block.
-    block_edge_start = np.zeros(num_blocks + 1, dtype=np.int64)
-    np.cumsum(edges_per_block, out=block_edge_start[1:])
-    sorted_block = edge_block[order]
-    slot_in_block = np.arange(num_edges, dtype=np.int64) - block_edge_start[sorted_block]
-    edge_chunk_idx = block_chunk_start[sorted_block] + slot_in_block // ec
-    edge_lane = slot_in_block % ec
-    flat_slot = edge_chunk_idx * ec + edge_lane
+        # Slot of each (sorted) edge within its block.
+        block_edge_start = np.zeros(num_blocks + 1, dtype=np.int64)
+        np.cumsum(edges_per_block, out=block_edge_start[1:])
+        sorted_block = edge_block[order]
+        slot_in_block = np.arange(num_edges, dtype=np.int64) - block_edge_start[sorted_block]
+        edge_chunk_idx = block_chunk_start[sorted_block] + slot_in_block // ec
+        edge_lane = slot_in_block % ec
+        flat_slot = edge_chunk_idx * ec + edge_lane
 
-    chunk_r = np.full((num_chunks, ec), config.row_sentinel, dtype=np.int32)
-    chunk_c = np.zeros((num_chunks, ec), dtype=np.int32)
-    chunk_edge_id = np.full((num_chunks, ec), num_edges, dtype=np.int32)
-    chunk_r.reshape(-1)[flat_slot] = edge_r[order]
-    chunk_c.reshape(-1)[flat_slot] = edge_c[order]
-    chunk_edge_id.reshape(-1)[flat_slot] = order.astype(np.int32)
+        chunk_r = np.full((num_chunks, ec), config.row_sentinel, dtype=np.int32)
+        chunk_c = np.zeros((num_chunks, ec), dtype=np.int32)
+        chunk_edge_id = np.full((num_chunks, ec), num_edges, dtype=np.int32)
+        chunk_r.reshape(-1)[flat_slot] = edge_r[order]
+        chunk_c.reshape(-1)[flat_slot] = edge_c[order]
+        chunk_edge_id.reshape(-1)[flat_slot] = order.astype(np.int32)
 
-    edge_perm = np.empty(num_edges, dtype=np.int32)
-    edge_perm[order] = flat_slot.astype(np.int32)
+        edge_perm = np.empty(num_edges, dtype=np.int32)
+        edge_perm[order] = flat_slot.astype(np.int32)
 
     # ---- per-chunk scalar metadata -----------------------------------------
     chunk_block = np.repeat(
@@ -526,6 +538,14 @@ def transpose_csr(row_pointers: np.ndarray, column_index: np.ndarray, num_nodes:
       transpose edge k, the id of the corresponding forward edge — used to
       carry per-edge weights into the backward SpMM.
     """
+    from tcgnn_tpu.sgt import native
+
+    if native.available():
+        # O(nnz) counting sort in C++ (reddit: ~2 s vs ~27 s numpy argsort).
+        t_ptr, t_cols, t_src = native.transpose(
+            row_pointers, column_index, num_nodes
+        )
+        return t_ptr.astype(np.int32), t_cols, t_src
     degrees = np.diff(np.asarray(row_pointers, dtype=np.int64))
     src = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
     dst = np.asarray(column_index, dtype=np.int64)

@@ -73,3 +73,49 @@ def test_lite_meta_has_no_chunks():
     assert m.chunk_block is None and m.num_chunks == 0
     j = m.as_jax()
     assert j.chunk_r is None and j.col_ids is not None
+
+
+def test_native_transpose_matches_numpy():
+    rng = np.random.default_rng(5)
+    n, e = 700, 4000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ptr, cols = coo_to_csr(src, dst, n)
+    from tcgnn_tpu.sgt import native
+
+    if not native.available():
+        pytest.skip("no native lib")
+    t_ptr, t_cols, t_src = native.transpose(ptr, cols, n)
+    # numpy reference (the fallback path in transpose_csr)
+    degrees = np.diff(np.asarray(ptr, np.int64))
+    s = np.repeat(np.arange(n, dtype=np.int64), degrees)
+    d = np.asarray(cols, np.int64)
+    order = np.argsort(d, kind="stable")
+    np.testing.assert_array_equal(t_cols, s[order].astype(np.int32))
+    np.testing.assert_array_equal(t_src, order.astype(np.int32))
+    want_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(d, minlength=n), out=want_ptr[1:])
+    np.testing.assert_array_equal(t_ptr, want_ptr)
+
+
+def test_native_chunk_layout_matches_numpy():
+    rng = np.random.default_rng(6)
+    n, e = 900, 7000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ptr, cols = coo_to_csr(src, dst, n)
+    cfg = TileConfig(blk_h=64, blk_w=32, edge_chunk=16)
+    from tcgnn_tpu.sgt import native
+
+    if not native.available():
+        pytest.skip("no native lib")
+    m_nat = sparse_graph_translate(ptr, cols, n, cfg, impl="native")
+    m_np = sparse_graph_translate(ptr, cols, n, cfg, impl="numpy")
+    for f in (
+        "chunk_r", "chunk_c", "chunk_edge_id", "chunk_block",
+        "chunk_window", "chunk_first_in_window", "chunk_first_in_block",
+        "edge_perm",
+    ):
+        np.testing.assert_array_equal(
+            getattr(m_nat, f), getattr(m_np, f), err_msg=f
+        )
