@@ -73,6 +73,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval", action="store_true", help="report train/test accuracy")
     p.add_argument("--save_params", type=str, default=None)
     p.add_argument("--load_params", type=str, default=None)
+    p.add_argument(
+        "--checkpoint_dir", type=str, default=None,
+        help="directory for periodic training-state checkpoints "
+        "(params + optimizer + epoch; atomic writes)",
+    )
+    p.add_argument(
+        "--checkpoint_every", type=int, default=50,
+        help="checkpoint period in epochs (with --checkpoint_dir)",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from the newest checkpoint in --checkpoint_dir "
+        "(failure recovery: continues at the saved epoch)",
+    )
     p.add_argument("--profile_dir", type=str, default=None,
                    help="dump a jax.profiler trace of the timed epochs")
     p.add_argument(
@@ -390,6 +404,16 @@ def main(argv=None):
     # readback is the only reliable device sync.
     from tcgnn_tpu.utils.profiling import trace
 
+    start_epoch = 0
+    if args.checkpoint_dir:
+        from tcgnn_tpu.utils import checkpoint as ckpt
+
+        if args.resume:
+            state = ckpt.restore_state(args.checkpoint_dir, params, opt_state)
+            if state is not None:
+                params, opt_state, start_epoch = state
+                print(f"# resumed at epoch {start_epoch}")
+
     loss = None
     for _ in range(1, 10):
         params, opt_state, key, loss = step(params, opt_state, key)
@@ -397,13 +421,17 @@ def main(argv=None):
 
     with trace(args.profile_dir):
         start_train = time.perf_counter()
-        for _ in range(1, args.epochs + 1):
+        for epoch in range(start_epoch + 1, args.epochs + 1):
             params, opt_state, key, loss = step(params, opt_state, key)
+            if args.checkpoint_dir and epoch % args.checkpoint_every == 0:
+                float(loss)  # sync before snapshotting device state
+                ckpt.save_state(args.checkpoint_dir, params, opt_state, epoch)
         final_loss = float(loss)  # forces the whole epoch chain
         train_time = time.perf_counter() - start_train
+    epochs_run = max(args.epochs - start_epoch, 1)
 
     print("Final loss:\t{:.6f}".format(final_loss))
-    print("Train (ms):\t{:6.3f}".format(train_time * 1e3 / args.epochs))
+    print("Train (ms):\t{:6.3f}".format(train_time * 1e3 / epochs_run))
 
     if args.eval:
         garr = graph.arrays()
@@ -425,7 +453,7 @@ def main(argv=None):
 
         path = ckpt.save(args.save_params, params, step=args.epochs)
         print(f"# saved params to {path}")
-    return train_time * 1e3 / args.epochs
+    return train_time * 1e3 / epochs_run
 
 
 if __name__ == "__main__":

@@ -44,6 +44,54 @@ def save(path: str, params: Any, step: int = 0) -> str:
         return path
 
 
+def save_state(ckpt_dir: str, params: Any, opt_state: Any, epoch: int) -> str:
+    """Failure-safe training-state checkpoint (params + optimizer + epoch).
+
+    Writes ``state_<epoch>.npz`` via a temp file + atomic ``os.replace``
+    and then updates the ``LATEST`` pointer, so a crash mid-write never
+    corrupts the resumable state (the previous checkpoint stays intact) —
+    the recovery contract behind the trainer's ``--checkpoint_every`` /
+    ``--resume`` flags.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    leaves = jax.tree.leaves({"p": params, "o": opt_state})
+    path = os.path.join(ckpt_dir, f"state_{epoch:08d}.npz")
+    # np.savez appends ".npz" when missing — keep the temp name suffixed.
+    tmp = os.path.join(ckpt_dir, f".tmp_state_{epoch:08d}.npz")
+    np.savez(
+        tmp, epoch=epoch,
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+    os.replace(tmp, path)
+    latest_tmp = os.path.join(ckpt_dir, "LATEST.tmp")
+    with open(latest_tmp, "w") as f:
+        f.write(os.path.basename(path))
+    os.replace(latest_tmp, os.path.join(ckpt_dir, "LATEST"))
+    return path
+
+
+def restore_state(ckpt_dir: str, params_like: Any, opt_state_like: Any):
+    """Restore the newest training state; returns (params, opt_state, epoch)
+    or None when the directory holds no checkpoint."""
+    latest = os.path.join(ckpt_dir, "LATEST")
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as f:
+        path = os.path.join(ckpt_dir, f.read().strip())
+    like = {"p": params_like, "o": opt_state_like}
+    leaves, treedef = jax.tree.flatten(like)
+    with np.load(path) as data:
+        loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
+        epoch = int(data["epoch"])
+    for want, got in zip(leaves, loaded):
+        if np.shape(want) != got.shape:
+            raise ValueError(
+                f"checkpoint shape mismatch: {got.shape} vs {np.shape(want)}"
+            )
+    state = jax.tree.unflatten(treedef, loaded)
+    return state["p"], state["o"], epoch
+
+
 def restore(path: str, like: Any) -> Any:
     """Restore a params pytree with the structure of ``like``."""
     if os.path.isdir(path):

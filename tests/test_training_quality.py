@@ -87,3 +87,49 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
 
         with pytest.raises(ValueError, match="shape mismatch"):
             ckpt.restore(path, bad)
+
+
+def test_state_checkpoint_roundtrip_and_latest(tmp_path):
+    """save_state/restore_state: params + optimizer + epoch round-trip
+    exactly; LATEST always points at the newest complete checkpoint."""
+    import optax
+
+    params = [{"weights": jnp.arange(12.0).reshape(3, 4)}]
+    opt = optax.adam(0.01)
+    st = opt.init(params)
+    d = str(tmp_path / "ck")
+    ckpt.save_state(d, params, st, epoch=2)
+    params2 = jax.tree.map(lambda a: a + 1.0, params)
+    ckpt.save_state(d, params2, st, epoch=4)
+    got = ckpt.restore_state(d, params, st)
+    assert got is not None
+    rp, rs, epoch = got
+    assert epoch == 4
+    np.testing.assert_allclose(rp[0]["weights"], np.asarray(params2[0]["weights"]))
+    # optimizer state round-trips leaf-exactly (incl. the int step count)
+    for a, b in zip(jax.tree.leaves(rs), jax.tree.leaves(st)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.restore_state(str(tmp_path / "empty"), params, st) is None
+
+
+def test_trainer_resume_continues_from_checkpoint(tmp_path, capsys):
+    """Failure-recovery drive: train with periodic checkpoints, then
+    'crash' (a second invocation) and --resume — the run picks up at the
+    saved epoch, runs only the remaining epochs, and ends with a loss in
+    the same regime."""
+    from tcgnn_tpu import train as train_mod
+
+    d = str(tmp_path / "ck")
+    args = [
+        "--dataset", "rand_600_3000", "--dim", "8", "--classes", "3",
+        "--hidden", "8", "--epochs", "6", "--model", "gcn",
+        "--blk_h", "32", "--blk_w", "32", "--edge_chunk", "32",
+        "--checkpoint_dir", d, "--checkpoint_every", "2",
+    ]
+    train_mod.main(args)
+    assert (tmp_path / "ck" / "LATEST").exists()
+    capsys.readouterr()
+    train_mod.main(args + ["--resume", "--epochs", "8"])
+    out = capsys.readouterr().out
+    assert "# resumed at epoch 6" in out
+    assert "Final loss" in out
