@@ -106,7 +106,7 @@ def main(argv=None):
         with open(out, "w") as f:
             f.write(
                 "dataset,SAG avg (ms),edges_per_s,useful_TFLOPs,"
-                "tile_TFLOPs,MFU (%)\n"
+                "tile_TFLOPs,MFU (%),SDDMM avg (ms),sddmm_edges_per_s\n"
             )
             for name, _, classes in table:
                 print(f"=== {name} (single kernel) ===", flush=True)
@@ -118,7 +118,8 @@ def main(argv=None):
                     f.write(
                         f"{name},{r['ms']:.3f},{r['edges_per_s']:.4g},"
                         f"{r['useful_tflops']:.4f},{r['tile_tflops']:.3f},"
-                        f"{r['mfu_pct']:.2f}\n"
+                        f"{r['mfu_pct']:.2f},{r['sddmm_ms']:.3f},"
+                        f"{r['sddmm_edges_per_s']:.4g}\n"
                     )
                     f.flush()
         print(f"wrote {out}")

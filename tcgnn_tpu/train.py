@@ -243,6 +243,30 @@ def profile_sag(graph, x, num_rounds: int = 200):
             profiling.PEAK_BF16_TFLOPS,
         )
     )
+
+    # SDDMM (the kernel pair's other half — BASELINE.md names both): per
+    # round one edge-score pass e = <x_row, x_col> over every edge.
+    @jax.jit
+    def _run_sddmm(garr, x):
+        return graph.bind(garr).sddmm(x)
+
+    _ = float(jnp.sum(_run_sddmm(garr, x)[:128]))
+    sd_rounds = max(num_rounds // 2, 1)
+    start = time.perf_counter()
+    acc = None
+    for _ in range(sd_rounds):
+        acc = _run_sddmm(garr, x)
+    _ = float(jnp.sum(acc[:128]))
+    sddmm_s = (time.perf_counter() - start) / sd_rounds
+    stats["sddmm_ms"] = sddmm_s * 1e3
+    stats["sddmm_edges_per_s"] = (
+        graph.num_edges / sddmm_s if sddmm_s > 0 else float("inf")
+    )
+    print(
+        "=> SDDMM avg (ms): {:.3f}  edges/s: {:.3e}".format(
+            sddmm_s * 1e3, stats["sddmm_edges_per_s"]
+        )
+    )
     print()
     return pipelined, stats
 
