@@ -95,7 +95,9 @@ def run_model(kind, ds, graph, norm, epochs, hidden, seed=0):
         return optax.apply_updates(p, updates), s, loss
 
     for _ in range(epochs):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, _ = step(params, opt_state)
+    # Loss of the FINAL params (the same state the accuracies use).
+    loss = loss_fn(params)
 
     logp = nets.apply_net(params, kind, x, graph, norm=norm)
     pred = np.asarray(jnp.argmax(logp, axis=1))

@@ -58,6 +58,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def lane_pad(d: int) -> int:
+    """Feature-width padding the dense kernels use: lane-tiled (128) at or
+    above one lane, 8-sublane-aligned below — narrow hidden sizes stay
+    narrow.  `utils.profiling.kernel_report` derives executed tile work
+    from the SAME rule, so MFU tracks what the kernels actually run."""
+    return _round_up(d, 128) if d >= 128 else _round_up(max(d, 1), 8)
+
+
 def default_interpret() -> bool:
     """Run Pallas in interpreter mode off-TPU (tests on the CPU mesh)."""
     return jax.default_backend() != "tpu"
@@ -864,7 +872,7 @@ def _bd_sfused_padded(
     assert max(abs(o) for o in offsets) <= g, offsets
     ct = cfg.compute_dtype
     d = xr.shape[1]
-    d_pad = _round_up(d, 128) if d >= 128 else _round_up(max(d, 1), 8)
+    d_pad = lane_pad(d)
     p = g * bn
 
     def panelize(x):
@@ -1015,7 +1023,7 @@ def _bd_sfused_bwd_padded(x, dy, tiles, *, offsets, cfg, interpret):
     assert max(abs(o) for o in offsets) <= g, offsets
     ct = cfg.compute_dtype
     d = x.shape[1]
-    d_pad = _round_up(d, 128) if d >= 128 else _round_up(max(d, 1), 8)
+    d_pad = lane_pad(d)
     p = g * bn
 
     def panelize(a):
@@ -1244,7 +1252,7 @@ def _spmm_sfused_padded(
     d = xl.shape[1]
     group = cfg.block_group
     assert n_blocks % group == 0, (n_blocks, group)
-    d_pad = _round_up(d, 128) if d >= 128 else _round_up(max(d, 1), 8)
+    d_pad = lane_pad(d)
     gwin = block_window[::group]
     gfirst = block_first[::group]
 
@@ -1397,7 +1405,7 @@ def _spmm_sfused_bwd_padded(
     d = x.shape[1]
     group = cfg.block_group
     assert n_blocks % group == 0, (n_blocks, group)
-    d_pad = _round_up(d, 128) if d >= 128 else _round_up(max(d, 1), 8)
+    d_pad = lane_pad(d)
     gwin = block_window[::group]
     gfirst = block_first[::group]
     if cfg.compute_dtype == jnp.bfloat16:

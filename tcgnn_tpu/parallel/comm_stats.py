@@ -85,8 +85,17 @@ def collective_bytes_from_hlo(hlo_text: str) -> Dict[str, Dict[str, int]]:
         if m.group(2) == "-done":
             continue
         kind = _COLLECTIVES[m.group(1)]
+        shape_text = line[eq + 2 : m.start()]
+        if m.group(2) == "-start":
+            # Async-start results are (operand, result[, context]) tuples;
+            # count only the RESULT element (index 1) so bytes match the
+            # sync form instead of double-counting operand + result.
+            shapes = _SHAPE_RE.findall(shape_text)
+            if len(shapes) >= 2:
+                dt, dims = shapes[1]
+                shape_text = f"{dt}[{dims}]"
         out[kind]["count"] += 1
-        out[kind]["bytes"] += _shape_bytes(line[eq + 2 : m.start()])
+        out[kind]["bytes"] += _shape_bytes(shape_text)
     return out
 
 

@@ -61,11 +61,9 @@ def make_mesh_two_level(
     if devices is None:
         devices = jax.devices()
     n_graph = n_hosts * chips_per_host
-    n = n_graph * n_feature
-    if n > len(devices):
+    if n_graph * n_feature > len(devices):
         raise ValueError(
             f"two-level mesh {n_hosts}x{chips_per_host}x{n_feature} needs "
-            f"{n} devices, have {len(devices)}"
+            f"{n_graph * n_feature} devices, have {len(devices)}"
         )
-    dev = np.asarray(devices[:n]).reshape(n_graph, n_feature)
-    return Mesh(dev, ("graph", "feature"))
+    return make_mesh(n_graph, n_feature, devices)

@@ -429,19 +429,28 @@ def main(argv=None):
     from tcgnn_tpu.utils.profiling import trace
 
     start_epoch = 0
+    resumed = False
     if args.checkpoint_dir:
         from tcgnn_tpu.utils import checkpoint as ckpt
 
         if args.resume:
             state = ckpt.restore_state(args.checkpoint_dir, params, opt_state)
             if state is not None:
-                params, opt_state, start_epoch = state
+                params, opt_state, start_epoch, saved_key = state
+                if saved_key is not None:
+                    key = jnp.asarray(saved_key)
+                resumed = True
                 print(f"# resumed at epoch {start_epoch}")
 
     loss = None
-    for _ in range(1, 10):
-        params, opt_state, key, loss = step(params, opt_state, key)
-    float(loss)
+    if not resumed:
+        # Warm-up trains (reference parity, main_tcgnn.py:166); a RESUMED
+        # run must not apply extra uncounted updates to the restored
+        # state, so it skips straight to the counted epochs (the first one
+        # absorbs the compile).
+        for _ in range(1, 10):
+            params, opt_state, key, loss = step(params, opt_state, key)
+        float(loss)
 
     with trace(args.profile_dir):
         start_train = time.perf_counter()
@@ -449,9 +458,19 @@ def main(argv=None):
             params, opt_state, key, loss = step(params, opt_state, key)
             if args.checkpoint_dir and epoch % args.checkpoint_every == 0:
                 float(loss)  # sync before snapshotting device state
-                ckpt.save_state(args.checkpoint_dir, params, opt_state, epoch)
+                ckpt.save_state(
+                    args.checkpoint_dir, params, opt_state, epoch, key=key
+                )
+        if loss is None:  # resumed past --epochs: nothing left to run
+            print(f"# checkpoint epoch {start_epoch} >= --epochs; no-op")
+            return 0.0
         final_loss = float(loss)  # forces the whole epoch chain
         train_time = time.perf_counter() - start_train
+    if args.checkpoint_dir and args.epochs % args.checkpoint_every != 0:
+        # Final state is always resumable, not just multiple-of-N epochs.
+        ckpt.save_state(
+            args.checkpoint_dir, params, opt_state, args.epochs, key=key
+        )
     epochs_run = max(args.epochs - start_epoch, 1)
 
     print("Final loss:\t{:.6f}".format(final_loss))

@@ -44,22 +44,31 @@ def save(path: str, params: Any, step: int = 0) -> str:
         return path
 
 
-def save_state(ckpt_dir: str, params: Any, opt_state: Any, epoch: int) -> str:
-    """Failure-safe training-state checkpoint (params + optimizer + epoch).
+def save_state(
+    ckpt_dir: str, params: Any, opt_state: Any, epoch: int,
+    key: Any = None, keep: int = 3,
+) -> str:
+    """Failure-safe training-state checkpoint (params + optimizer + PRNG
+    key + epoch).
 
     Writes ``state_<epoch>.npz`` via a temp file + atomic ``os.replace``
     and then updates the ``LATEST`` pointer, so a crash mid-write never
     corrupts the resumable state (the previous checkpoint stays intact) —
     the recovery contract behind the trainer's ``--checkpoint_every`` /
-    ``--resume`` flags.
+    ``--resume`` flags.  The ``key`` makes the resumed dropout stream
+    continue instead of replaying from the seed.  Only the newest
+    ``keep`` snapshots are retained (older ones are pruned after the
+    LATEST pointer moves).
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     leaves = jax.tree.leaves({"p": params, "o": opt_state})
     path = os.path.join(ckpt_dir, f"state_{epoch:08d}.npz")
     # np.savez appends ".npz" when missing — keep the temp name suffixed.
     tmp = os.path.join(ckpt_dir, f".tmp_state_{epoch:08d}.npz")
+    extra = {} if key is None else {"prng_key": np.asarray(key)}
     np.savez(
         tmp, epoch=epoch,
+        **extra,
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
     )
     os.replace(tmp, path)
@@ -67,12 +76,26 @@ def save_state(ckpt_dir: str, params: Any, opt_state: Any, epoch: int) -> str:
     with open(latest_tmp, "w") as f:
         f.write(os.path.basename(path))
     os.replace(latest_tmp, os.path.join(ckpt_dir, "LATEST"))
+    if keep is not None:
+        snaps = sorted(
+            f for f in os.listdir(ckpt_dir)
+            if f.startswith("state_") and f.endswith(".npz")
+        )
+        for old in snaps[:-keep]:
+            try:
+                os.remove(os.path.join(ckpt_dir, old))
+            except OSError:
+                pass
     return path
 
 
 def restore_state(ckpt_dir: str, params_like: Any, opt_state_like: Any):
-    """Restore the newest training state; returns (params, opt_state, epoch)
-    or None when the directory holds no checkpoint."""
+    """Restore the newest training state.
+
+    Returns ``(params, opt_state, epoch, key)`` (``key`` is None when the
+    snapshot carries none), or None when the directory holds no
+    checkpoint.
+    """
     latest = os.path.join(ckpt_dir, "LATEST")
     if not os.path.exists(latest):
         return None
@@ -81,15 +104,16 @@ def restore_state(ckpt_dir: str, params_like: Any, opt_state_like: Any):
     like = {"p": params_like, "o": opt_state_like}
     leaves, treedef = jax.tree.flatten(like)
     with np.load(path) as data:
-        loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
         epoch = int(data["epoch"])
+        key = data["prng_key"] if "prng_key" in data else None
+        loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
     for want, got in zip(leaves, loaded):
         if np.shape(want) != got.shape:
             raise ValueError(
                 f"checkpoint shape mismatch: {got.shape} vs {np.shape(want)}"
             )
     state = jax.tree.unflatten(treedef, loaded)
-    return state["p"], state["o"], epoch
+    return state["p"], state["o"], epoch, key
 
 
 def restore(path: str, like: Any) -> Any:

@@ -38,10 +38,6 @@ def trace(log_dir: str | None):
 PEAK_BF16_TFLOPS = 197.0
 
 
-def _lane_pad(d: int) -> int:
-    return -(-d // 128) * 128 if d >= 128 else -(-max(d, 1) // 8) * 8
-
-
 def op_stats(num_edges: int, feature_dim: int, seconds: float) -> dict:
     """Throughput stats for one aggregation pass over the whole graph."""
     edges_per_s = num_edges / seconds if seconds > 0 else float("inf")
@@ -71,7 +67,9 @@ def kernel_report(
       the SGT padding overhead.
     """
     stats = op_stats(num_edges, feature_dim, seconds)
-    d_pad = _lane_pad(feature_dim)
+    from tcgnn_tpu.ops.spmm import lane_pad
+
+    d_pad = lane_pad(feature_dim)
     tile_tflops = (
         2.0 * exp_edges * d_pad / seconds / 1e12 if seconds > 0 else 0.0
     )

@@ -158,3 +158,12 @@ def test_two_level_mesh_dcn_fraction_and_step():
         params, st, key, loss = step(params, st, key)
         losses.append(float(loss))
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_hlo_parser_async_start_counts_result_only():
+    hlo = """
+  ag = (f32[8,256]{1,0}, f32[32,256]{1,0}) all-gather-start(x), dimensions={0}
+  ag2 = f32[32,256]{1,0} all-gather-done(ag)
+"""
+    s = collective_bytes_from_hlo(hlo)
+    assert s["all_gather"] == {"count": 1, "bytes": 32 * 256 * 4}

@@ -101,10 +101,20 @@ def test_state_checkpoint_roundtrip_and_latest(tmp_path):
     ckpt.save_state(d, params, st, epoch=2)
     params2 = jax.tree.map(lambda a: a + 1.0, params)
     ckpt.save_state(d, params2, st, epoch=4)
+    # pruning: keep=3 default retains all here; keep=1 drops the older one
+    ckpt.save_state(d, params2, st, epoch=6, key=jax.random.PRNGKey(3), keep=1)
+    import os
+    snaps = [f for f in os.listdir(d) if f.startswith("state_")]
+    assert snaps == ["state_00000006.npz"], snaps
+    got6 = ckpt.restore_state(d, params, st)
+    assert got6[2] == 6 and got6[3] is not None
+    np.testing.assert_array_equal(np.asarray(got6[3]), np.asarray(jax.random.PRNGKey(3)))
+    ckpt.save_state(d, params, st, epoch=2)
+    ckpt.save_state(d, params2, st, epoch=4)
     got = ckpt.restore_state(d, params, st)
     assert got is not None
-    rp, rs, epoch = got
-    assert epoch == 4
+    rp, rs, epoch, saved_key = got
+    assert epoch == 4 and saved_key is None
     np.testing.assert_allclose(rp[0]["weights"], np.asarray(params2[0]["weights"]))
     # optimizer state round-trips leaf-exactly (incl. the int step count)
     for a, b in zip(jax.tree.leaves(rs), jax.tree.leaves(st)):
