@@ -359,38 +359,6 @@ def _sddmm_dense_padded(
     )(gwin, xa_pad, xg)
 
 
-def sddmm_tc_dense_tiles(
-    xa: jnp.ndarray,
-    meta: JaxSGTMeta,
-    xb: jnp.ndarray | None = None,
-    *,
-    interpret: bool | None = None,
-    d_tile: int = 128,
-    out_dtype=jnp.float32,
-) -> jnp.ndarray:
-    """Dense-tile SDDMM returning the raw score tiles [B, blk_h, blk_w].
-
-    Scores at non-edge tile positions are garbage (full window x condensed
-    dot products) — consumers must mask with the structural tiles.  This is
-    the tile-space interface the fused AGNN path builds on: attention
-    weights of the form ``c * e`` never need the per-edge scatter at all.
-    """
-    if interpret is None:
-        interpret = default_interpret()
-    if xb is None:
-        xb = xa
-    return _sddmm_dense_padded(
-        xa,
-        xb,
-        meta.col_ids,
-        meta.block_window,
-        cfg=meta.config,
-        num_windows=meta.num_windows,
-        interpret=interpret,
-        d_tile=d_tile,
-        out_dtype=out_dtype,
-    )
-
 
 def sddmm_tc_dense(
     xa: jnp.ndarray,

@@ -494,36 +494,6 @@ def bd_score_tiles(xa, xb, *, bp, bn, offsets, cfg, interpret, out_dtype=None):
     return s if out_dtype is None else s.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "cfg", "interpret"))
-def _bd_transpose_core(x, tiles, *, offsets, cfg, interpret):
-    """``out = (A_bd)^T @ x``: per offset k, ``out[b+k] += D_k[b]^T x[b]``.
-
-    Serves the fused-AGNN backward's column-space term on value tiles that
-    exist only in the FORWARD pack layout (re-scattering them into the
-    transpose pack would cost a [Bp*bn*K*bn] gather); K <= MAX_BD_OFFSETS
-    static shift-adds keep it a handful of contiguous copies.
-    """
-    del interpret
-    ct = cfg.compute_dtype
-    bp, bn = tiles.shape[0], tiles.shape[1]
-    d = x.shape[1]
-    xbin = _bd_bins(x, bp, bn, ct)
-    z = jnp.einsum(
-        "bik,bid->bkd",
-        tiles.astype(ct),
-        xbin,
-        preferred_element_type=jnp.float32,
-        precision=_mxu_precision(ct),
-    )
-    # Same 0-inclusive normalization as _bd_stack (one-signed offset sets).
-    kmin, kmax = min(0, min(offsets)), max(0, max(offsets))
-    out = jnp.zeros((bp + (kmax - kmin), bn, d), jnp.float32)
-    for i, k in enumerate(offsets):
-        out = out.at[k - kmin : k - kmin + bp].add(
-            z[:, i * bn : (i + 1) * bn, :]
-        )
-    return out[-kmin : -kmin + bp].reshape(bp * bn, d)
-
 
 def bd_scatter_weights(w_cov, cov_pack_idx, *, bp, bn, k, dtype):
     """Per-edge weights -> packed [Bp, bn, K*bn] weighted tiles.
