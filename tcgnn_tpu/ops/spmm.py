@@ -1453,83 +1453,6 @@ def spmm_sfused_bwd(
     return dx3[:n, :d], u[:n, :d]
 
 
-def _spmm_colspace_kernel(
-    gwin_ref, a_ref, s_ref, xw_ref, o_ref, *, blk_h, blk_w, group, compute_dtype
-):
-    # y[blk_w, d] = (A_k * S_k)^T @ x_window  per block — outputs live in the
-    # condensed-column space; caller scatter-adds them back to nodes.
-    xw = xw_ref[:].astype(compute_dtype)  # [blk_h, d_blk] — the group's window
-    for k in range(group):
-        w = a_ref[k].astype(compute_dtype) * s_ref[k].astype(compute_dtype)
-        o_ref[k * blk_w : (k + 1) * blk_w, :] = jax.lax.dot_general(
-            w,
-            xw,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_mxu_precision(compute_dtype),
-        )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "num_windows", "interpret", "d_tile")
-)
-def _spmm_colspace_padded(
-    x, a_tiles, s_tiles, block_window,
-    *, cfg, num_windows, interpret, d_tile=128,
-):
-    """Column-space weighted aggregation: per-block (A*S)^T @ x_window.
-
-    Returns [B*blk_w, Dpad] f32 partials indexed by condensed columns
-    (scatter-add through col_ids turns them into per-node values) — the
-    transpose-side AGNN gradient without transpose-layout weight tiles.
-    """
-    n_blocks = a_tiles.shape[0]
-    d = x.shape[1]
-    group = cfg.block_group
-    assert n_blocks % group == 0
-    if d >= d_tile:
-        d_pad, d_blk = _round_up(d, d_tile), d_tile
-    else:
-        d_pad = d_blk = _round_up(max(d, 1), 8)
-    n_dtiles = d_pad // d_blk
-    gwin = block_window[::group]
-    if cfg.compute_dtype == jnp.bfloat16:
-        x = x.astype(jnp.bfloat16)
-    x_pad = jnp.pad(
-        x, ((0, num_windows * cfg.blk_h - x.shape[0]), (0, d_pad - d))
-    )
-
-    kernel = functools.partial(
-        _spmm_colspace_kernel, blk_h=cfg.blk_h, blk_w=cfg.blk_w,
-        group=group, compute_dtype=cfg.compute_dtype,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_dtiles, n_blocks // group),
-        in_specs=[
-            pl.BlockSpec((group, cfg.blk_h, cfg.blk_w), lambda d, b, w_: (b, 0, 0)),
-            pl.BlockSpec((group, cfg.blk_h, cfg.blk_w), lambda d, b, w_: (b, 0, 0)),
-            pl.BlockSpec((cfg.blk_h, d_blk), lambda d, b, w_: (w_[b], d)),
-        ],
-        out_specs=pl.BlockSpec(
-            (group * cfg.blk_w, d_blk), lambda d, b, w_: (b, d)
-        ),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * cfg.blk_w, d_pad), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_dtiles * n_blocks * cfg.blk_h * cfg.blk_w * d_blk,
-            bytes_accessed=x_pad.size * x_pad.dtype.itemsize
-            + a_tiles.size + s_tiles.size * s_tiles.dtype.itemsize
-            + n_blocks * cfg.blk_w * d_pad * 4,
-            transcendentals=0,
-        ),
-    )(gwin, a_tiles, s_tiles, x_pad)
-
-
 def spmm_tc(
     x: jnp.ndarray,
     meta: JaxSGTMeta,

@@ -62,7 +62,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
 from tcgnn_tpu.ops.spmm import (
-    _spmm_colspace_padded,
     _spmm_dense_padded,
     _spmm_fused_padded,
     _spmm_padded,
@@ -532,22 +531,6 @@ class DistributedTiledGraph:
                 [x_loc, recv.reshape(pg * h, x_loc.shape[1])], axis=0
             )
 
-        def halo_reverse_add(y_ext, send_idx):
-            """Transpose of halo_exchange: return partial sums accumulated
-            in the halo tail to their owner rows (adds into the local part).
-            Used by the fused-AGNN column-space gradient term."""
-            rows = wd * blk_h
-            if pg == 1:
-                return y_ext[:rows]
-            h = send_idx.shape[-1]
-            halo = y_ext[rows:].reshape(pg, h, y_ext.shape[1])
-            back = jax.lax.all_to_all(
-                halo, "graph", split_axis=0, concat_axis=0, tiled=True
-            )
-            return y_ext[:rows].at[send_idx[0].reshape(-1)].add(
-                back.reshape(pg * h, y_ext.shape[1])
-            )
-
         def _w_all_ext(w_loc):
             """All-gathered forward edge vector + appended zero — the shared
             sentinel target (index G*Emax gathers 0).  Per-edge scalars are
@@ -774,27 +757,24 @@ class DistributedTiledGraph:
                 dy_ext = halo_exchange(dy_loc, m["send_idx"])
                 x_str = jnp.concatenate([x_loc, xa_guest_rows(x_loc, m)])
                 dy_g = xa_guest_rows(dy_loc, m)
-                dy_str = jnp.concatenate([dy_loc, dy_g])
-                s = s_tiles_split(x_str, x_ext, m)    # e tiles
-                t = s_tiles_split(dy_str, x_ext, m)   # <dy_i, x_j> tiles
-                # t1 + t2a share the stream: sum the partial tiles BEFORE
-                # the guest exchange (float add is order-invariant).
-                y12 = fused_split(dy_ext, s, m) + fused_split(x_ext, t, m)
-                t12 = ag_guest_return(y12, m, d)
-                # column-space term: guest contributions scatter into this
-                # shard's extended slab (guest block columns are all in its
-                # halo request set) and ride the reverse exchange home.
-                ycol = _spmm_colspace_padded(
-                    x_str, m["a_tiles"][0], t,
-                    m["block_window"][0], cfg=cfg, num_windows=ag_nw,
-                    interpret=interpret,
-                )[:, :d]
-                scat = (
-                    jnp.zeros((ag_rows + pg * halo_cap, d), jnp.float32)
-                    .at[m["col_ids_ext"][0]]
-                    .add(ycol)
+                s = s_tiles_split(x_str, x_ext, m)    # S_ij = <x_i, x_j>
+                t = s_tiles_split(
+                    jnp.concatenate([dy_loc, dy_g]), x_ext, m
+                )                                     # T_ij = <dy_i, x_j>
+                # Global symmetry turns the column-space gradient term into
+                # a ROW-space pass: (A⊙T)ᵀx = (A⊙Tᵀ)x with
+                # Tᵀ_ij = <x_i, dy_j> — score tiles of x against the dy
+                # halo slab (already exchanged for t1).  All three dx terms
+                # sum BEFORE one guest exchange (float add is
+                # order-invariant); no column-space kernel, no scatter, no
+                # reverse halo exchange.
+                u_t = s_tiles_split(x_str, dy_ext, m)
+                y123 = (
+                    fused_split(dy_ext, s, m)
+                    + fused_split(x_ext, t, m)
+                    + fused_split(x_ext, u_t, m)
                 )
-                t2b = halo_reverse_add(scat, m["send_idx"])
+                dx = ag_guest_return(y123, m, d)
                 # dc = <dy, (A*S)x>: every partial output tile is attributed
                 # exactly once — own head blocks against dy_loc, guest tiles
                 # against the owner's dy rows (already fetched as dy_g).
@@ -808,7 +788,7 @@ class DistributedTiledGraph:
                 dc = jax.lax.psum(dc, "graph")
                 if pf > 1:
                     dc = jax.lax.psum(dc, "feature")
-                return t12 + t2b, dc
+                return dx, dc
 
             ag_specs = tuple(P("graph") for _ in _SPLIT_FIELDS)
             self._agnn_fwd_sm = self._shardmap(
@@ -857,23 +837,16 @@ class DistributedTiledGraph:
                 d = x_loc.shape[1]
                 x_ext = halo_exchange(x_loc, m["send_idx"])
                 dy_ext = halo_exchange(dy_loc, m["send_idx"])
-                s = s_tiles_loc(x_loc, x_ext, m)     # e tiles (local rows)
-                t = s_tiles_loc(dy_loc, x_ext, m)    # <dy_i, x_j> tiles
+                s = s_tiles_loc(x_loc, x_ext, m)     # S_ij = <x_i, x_j>
+                t = s_tiles_loc(dy_loc, x_ext, m)    # T_ij = <dy_i, x_j>
                 t1 = fused_loc(dy_ext, s, m)[:, :d]
                 t2a = fused_loc(x_ext, t, m)[:, :d]
-                # column-space term: contributions of local rows i to any
-                # node j — scatter into the extended slab, then return the
-                # halo tail's partials to their owners (reverse exchange).
-                ycol = _spmm_colspace_padded(
-                    x_loc, m["a_tiles"][0], t, m["block_window"][0],
-                    cfg=cfg, num_windows=wd, interpret=interpret,
-                )[:, :d]
-                scat = (
-                    jnp.zeros((wd * blk_h + pg * halo_cap, d), jnp.float32)
-                    .at[m["col_ids_ext"][0]]
-                    .add(ycol)
-                )
-                t2b = halo_reverse_add(scat, m["send_idx"])
+                # Column-space term via global symmetry, in ROW space:
+                # (A⊙T)ᵀx = (A⊙Tᵀ)x with Tᵀ_ij = <x_i, dy_j> — score tiles
+                # of x against the dy halo slab (already exchanged for t1).
+                # No column-space kernel, scatter, or reverse exchange.
+                u_t = s_tiles_loc(x_loc, dy_ext, m)
+                t2b = fused_loc(x_ext, u_t, m)[:, :d]
                 u = fused_loc(x_ext, s, m)[:, :d]
                 dc = jnp.vdot(dy_loc.astype(jnp.float32), u)
                 dc = jax.lax.psum(dc, "graph")
