@@ -1231,6 +1231,9 @@ def _spmm_sfused_padded(
         xl = xl.astype(jnp.bfloat16)
         xr = xr.astype(jnp.bfloat16)
         xv = None if share_rv else xv.astype(jnp.bfloat16)
+    # Window source may EXCEED the window span (distributed extended slabs:
+    # local rows first, halo tail after) — trim before padding.
+    xl = xl[: num_windows * cfg.blk_h]
     xl_pad = jnp.pad(
         xl, ((0, num_windows * cfg.blk_h - xl.shape[0]), (0, d_pad - d))
     )
@@ -1383,6 +1386,8 @@ def _spmm_sfused_bwd_padded(
         dy = dy.astype(jnp.bfloat16)
 
     def window_pad(a):
+        # May exceed the window span (distributed extended slabs) — trim.
+        a = a[: num_windows * cfg.blk_h]
         return jnp.pad(
             a, ((0, num_windows * cfg.blk_h - a.shape[0]), (0, d_pad - d))
         )

@@ -65,6 +65,8 @@ from tcgnn_tpu.ops.spmm import (
     _spmm_dense_padded,
     _spmm_fused_padded,
     _spmm_padded,
+    _spmm_sfused_bwd_padded,
+    _spmm_sfused_padded,
     default_interpret,
 )
 from tcgnn_tpu.ops.sddmm import _sddmm_dense_padded, _sddmm_padded
@@ -826,33 +828,73 @@ class DistributedTiledGraph:
                     cfg=cfg, num_windows=wd, interpret=interpret,
                 )
 
-            def local_agnn_fwd(x_loc, *meta):
-                m = dict(zip(AG_FIELDS, meta))
-                x_ext = halo_exchange(x_loc, m["send_idx"])
-                s = s_tiles_loc(x_loc, x_ext, m)
-                return fused_loc(x_ext, s, m)[:, : x_loc.shape[1]]
+            if pf == 1:
+                # Score-fused distributed AGNN (kernel parity with the
+                # single-device path): score tiles form in VMEM and never
+                # exist in HBM; the fused backward returns all three dx
+                # terms + u in one pass.  The extended slab's local rows
+                # come first, so x_ext doubles as the window source (the
+                # padded kernels trim it to wd windows).  pf>1 keeps the
+                # materializing path: in-kernel scores would be partial
+                # over the feature shard and need the explicit psum.
+                def local_agnn_fwd(x_loc, *meta):
+                    m = dict(zip(AG_FIELDS, meta))
+                    x_ext = halo_exchange(x_loc, m["send_idx"])
+                    out = _spmm_sfused_padded(
+                        x_ext, x_ext, None, m["a_tiles"][0],
+                        m["col_ids_ext"][0], m["block_window"][0],
+                        m["block_first_in_window"][0],
+                        cfg=cfg, num_windows=wd, interpret=interpret,
+                    )
+                    return out[:, : x_loc.shape[1]]
 
-            def local_agnn_bwd(x_loc, dy_loc, *meta):
-                m = dict(zip(AG_FIELDS, meta))
-                d = x_loc.shape[1]
-                x_ext = halo_exchange(x_loc, m["send_idx"])
-                dy_ext = halo_exchange(dy_loc, m["send_idx"])
-                s = s_tiles_loc(x_loc, x_ext, m)     # S_ij = <x_i, x_j>
-                t = s_tiles_loc(dy_loc, x_ext, m)    # T_ij = <dy_i, x_j>
-                t1 = fused_loc(dy_ext, s, m)[:, :d]
-                t2a = fused_loc(x_ext, t, m)[:, :d]
-                # Column-space term via global symmetry, in ROW space:
-                # (A⊙T)ᵀx = (A⊙Tᵀ)x with Tᵀ_ij = <x_i, dy_j> — score tiles
-                # of x against the dy halo slab (already exchanged for t1).
-                # No column-space kernel, scatter, or reverse exchange.
-                u_t = s_tiles_loc(x_loc, dy_ext, m)
-                t2b = fused_loc(x_ext, u_t, m)[:, :d]
-                u = fused_loc(x_ext, s, m)[:, :d]
-                dc = jnp.vdot(dy_loc.astype(jnp.float32), u)
-                dc = jax.lax.psum(dc, "graph")
-                if pf > 1:
+                def local_agnn_bwd(x_loc, dy_loc, *meta):
+                    m = dict(zip(AG_FIELDS, meta))
+                    d = x_loc.shape[1]
+                    x_ext = halo_exchange(x_loc, m["send_idx"])
+                    dy_ext = halo_exchange(dy_loc, m["send_idx"])
+                    dx3, u = _spmm_sfused_bwd_padded(
+                        x_ext, dy_ext, m["a_tiles"][0],
+                        m["col_ids_ext"][0], m["block_window"][0],
+                        m["block_first_in_window"][0],
+                        cfg=cfg, num_windows=wd, interpret=interpret,
+                    )
+                    dc = jnp.vdot(
+                        dy_loc.astype(jnp.float32),
+                        u[: x_loc.shape[0], :d],
+                    )
+                    dc = jax.lax.psum(dc, "graph")
+                    return dx3[:, :d], dc
+
+            else:
+
+                def local_agnn_fwd(x_loc, *meta):
+                    m = dict(zip(AG_FIELDS, meta))
+                    x_ext = halo_exchange(x_loc, m["send_idx"])
+                    s = s_tiles_loc(x_loc, x_ext, m)
+                    return fused_loc(x_ext, s, m)[:, : x_loc.shape[1]]
+
+                def local_agnn_bwd(x_loc, dy_loc, *meta):
+                    m = dict(zip(AG_FIELDS, meta))
+                    d = x_loc.shape[1]
+                    x_ext = halo_exchange(x_loc, m["send_idx"])
+                    dy_ext = halo_exchange(dy_loc, m["send_idx"])
+                    s = s_tiles_loc(x_loc, x_ext, m)   # S_ij = <x_i, x_j>
+                    t = s_tiles_loc(dy_loc, x_ext, m)  # T_ij = <dy_i, x_j>
+                    t1 = fused_loc(dy_ext, s, m)[:, :d]
+                    t2a = fused_loc(x_ext, t, m)[:, :d]
+                    # Column-space term via global symmetry, in ROW space:
+                    # (A⊙T)ᵀx = (A⊙Tᵀ)x with Tᵀ_ij = <x_i, dy_j> — score
+                    # tiles of x against the dy halo slab (already
+                    # exchanged for t1).  No column-space kernel, scatter,
+                    # or reverse exchange.
+                    u_t = s_tiles_loc(x_loc, dy_ext, m)
+                    t2b = fused_loc(x_ext, u_t, m)[:, :d]
+                    u = fused_loc(x_ext, s, m)[:, :d]
+                    dc = jnp.vdot(dy_loc.astype(jnp.float32), u)
+                    dc = jax.lax.psum(dc, "graph")
                     dc = jax.lax.psum(dc, "feature")
-                return t1 + t2a + t2b, dc
+                    return t1 + t2a + t2b, dc
 
             self._agnn_fwd_sm = self._shardmap(
                 local_agnn_fwd,

@@ -272,3 +272,50 @@ def test_distributed_fused_agnn_matches_single_device(mesh42):
     np.testing.assert_allclose(
         np.asarray(gd[1])[:n], np.asarray(gs[1]), rtol=1e-3, atol=1e-4
     )
+
+
+def test_distributed_sfused_agnn_pf1_matches_single_device():
+    """pf==1 mesh takes the score-fused distributed AGNN (in-VMEM score
+    tiles, one-pass fused backward) — fwd and grads exact vs single
+    device."""
+    from tcgnn_tpu.data.synthetic import powerlaw_graph
+    from tcgnn_tpu.data.dataset import coo_to_csr
+    from tcgnn_tpu.models import layers as L
+    from tcgnn_tpu.parallel import make_mesh
+
+    mesh81 = make_mesh(n_graph=8, n_feature=1)
+    n, d = 160, 16
+    src, dst = powerlaw_graph(n, 1000, seed=11)
+    ptr, cols = coo_to_csr(src, dst, n)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh81, CFG)
+    sg = TiledGraph(ptr, cols, n, CFG)
+    assert dg.symmetric and dg.agnn_aggregate is not None
+
+    x = np.random.default_rng(3).standard_normal((n, d)).astype(np.float32)
+    xs = dg.shard_features(x)
+    d_in = xs.shape[1]
+    params = L.init_agnn(jax.random.PRNGKey(5), d_in, 8, n_heads=2)
+    x_pad = np.zeros((n, d_in), np.float32)
+    x_pad[:, :d] = x
+
+    out_d = L.agnn_conv(params, xs, dg)
+    out_s = L.agnn_conv(params, jnp.asarray(x_pad), sg)
+    np.testing.assert_allclose(
+        np.asarray(out_d)[:n, :8], np.asarray(out_s), rtol=1e-4, atol=1e-4
+    )
+
+    def loss_d(p, xx):
+        return jnp.sum(jnp.tanh(L.agnn_conv(p, xx, dg)[:n] * 0.1))
+
+    def loss_s(p, xx):
+        return jnp.sum(jnp.tanh(L.agnn_conv(p, xx, sg) * 0.1))
+
+    gd = jax.grad(loss_d, argnums=(0, 1))(params, xs)
+    gs = jax.grad(loss_s, argnums=(0, 1))(params, jnp.asarray(x_pad))
+    np.testing.assert_allclose(
+        np.asarray(gd[0]["attention_w"]), np.asarray(gs[0]["attention_w"]),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gd[1])[:n], np.asarray(gs[1]), rtol=1e-3, atol=1e-4
+    )
