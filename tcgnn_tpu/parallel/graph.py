@@ -743,14 +743,25 @@ class DistributedTiledGraph:
                     cfg=cfg, num_windows=ag_nw, interpret=interpret,
                 )
 
+            def sfused_split(xl, xr, xv, m):
+                """Score-fused pass over the split stream (pf==1 only —
+                in-kernel scores contract the full feature dim)."""
+                return _spmm_sfused_padded(
+                    xl, xr, xv, m["a_tiles"][0], m["col_ids_ext"][0],
+                    m["block_window"][0], m["block_first"][0],
+                    cfg=cfg, num_windows=ag_nw, interpret=interpret,
+                )
+
             def local_agnn_fwd(x_loc, *meta):
                 m = dict(zip(_SPLIT_FIELDS, meta))
                 x_ext = halo_exchange(x_loc, m["send_idx"])
                 x_str = jnp.concatenate([x_loc, xa_guest_rows(x_loc, m)])
-                s = s_tiles_split(x_str, x_ext, m)
-                return ag_guest_return(
-                    fused_split(x_ext, s, m), m, x_loc.shape[1]
-                )
+                if pf == 1:
+                    y = sfused_split(x_str, x_ext, None, m)
+                else:
+                    s = s_tiles_split(x_str, x_ext, m)
+                    y = fused_split(x_ext, s, m)
+                return ag_guest_return(y, m, x_loc.shape[1])
 
             def local_agnn_bwd(x_loc, dy_loc, *meta):
                 m = dict(zip(_SPLIT_FIELDS, meta))
@@ -759,10 +770,6 @@ class DistributedTiledGraph:
                 dy_ext = halo_exchange(dy_loc, m["send_idx"])
                 x_str = jnp.concatenate([x_loc, xa_guest_rows(x_loc, m)])
                 dy_g = xa_guest_rows(dy_loc, m)
-                s = s_tiles_split(x_str, x_ext, m)    # S_ij = <x_i, x_j>
-                t = s_tiles_split(
-                    jnp.concatenate([dy_loc, dy_g]), x_ext, m
-                )                                     # T_ij = <dy_i, x_j>
                 # Global symmetry turns the column-space gradient term into
                 # a ROW-space pass: (A⊙T)ᵀx = (A⊙Tᵀ)x with
                 # Tᵀ_ij = <x_i, dy_j> — score tiles of x against the dy
@@ -770,17 +777,31 @@ class DistributedTiledGraph:
                 # sum BEFORE one guest exchange (float add is
                 # order-invariant); no column-space kernel, no scatter, no
                 # reverse halo exchange.
-                u_t = s_tiles_split(x_str, dy_ext, m)
-                y123 = (
-                    fused_split(dy_ext, s, m)
-                    + fused_split(x_ext, t, m)
-                    + fused_split(x_ext, u_t, m)
-                )
+                if pf == 1:
+                    # Score-fused: tiles form in VMEM, never in HBM.
+                    dy_str = jnp.concatenate([dy_loc, dy_g])
+                    y123 = (
+                        sfused_split(x_str, x_ext, dy_ext, m)    # t1
+                        + sfused_split(dy_str, x_ext, None, m)   # t2a
+                        + sfused_split(x_str, dy_ext, x_ext, m)  # t2b
+                    )
+                    u = sfused_split(x_str, x_ext, None, m)
+                else:
+                    s = s_tiles_split(x_str, x_ext, m)   # S_ij = <x_i, x_j>
+                    t = s_tiles_split(
+                        jnp.concatenate([dy_loc, dy_g]), x_ext, m
+                    )                                    # T_ij = <dy_i, x_j>
+                    u_t = s_tiles_split(x_str, dy_ext, m)
+                    y123 = (
+                        fused_split(dy_ext, s, m)
+                        + fused_split(x_ext, t, m)
+                        + fused_split(x_ext, u_t, m)
+                    )
+                    u = fused_split(x_ext, s, m)
                 dx = ag_guest_return(y123, m, d)
                 # dc = <dy, (A*S)x>: every partial output tile is attributed
                 # exactly once — own head blocks against dy_loc, guest tiles
                 # against the owner's dy rows (already fetched as dy_g).
-                u = fused_split(x_ext, s, m)
                 dc = jnp.vdot(
                     dy_loc.astype(jnp.float32), u[:ag_rows, :d]
                 ) + jnp.vdot(

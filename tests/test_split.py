@@ -252,3 +252,41 @@ def test_split_weighted_spmm_directed(mesh42):
     np.testing.assert_allclose(
         np.asarray(gd)[:n, :d], np.asarray(gs), rtol=1e-3, atol=1e-3
     )
+
+
+def test_split_sfused_agnn_pf1_exact():
+    """pf==1 split stream rides the score-fused AGNN (in-VMEM score tiles);
+    fwd and grads match the single-device fused op exactly."""
+    from tcgnn_tpu.parallel import make_mesh
+
+    mesh81 = make_mesh(n_graph=8, n_feature=1)
+    n, d = 400, 16
+    ptr, cols = mega_csr(n, symmetric=True, seed=11)
+    dg = DistributedTiledGraph(ptr, cols, n, mesh81, CFG)
+    assert dg.host_fwd.split is not None and dg._ag_split
+    sg = TiledGraph(ptr, cols, n, CFG)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    att = rng.standard_normal((1, 2)).astype(np.float32)
+    xs = dg.shard_features(x)
+
+    out_d = jax.jit(dg.agnn_aggregate)(xs, jnp.asarray(att))
+    out_s = np.asarray(sg.agnn_aggregate(jnp.asarray(x), jnp.asarray(att)))
+    np.testing.assert_allclose(
+        np.asarray(out_d)[:n, :d], out_s, rtol=1e-4, atol=1e-4
+    )
+
+    def loss_d(xx, aa):
+        return jnp.sum(jnp.sin(dg.agnn_aggregate(xx, aa)[:n, :d]))
+
+    def loss_s(xx, aa):
+        return jnp.sum(jnp.sin(sg.agnn_aggregate(xx, aa)))
+
+    gd_x, gd_a = jax.jit(jax.grad(loss_d, argnums=(0, 1)))(xs, jnp.asarray(att))
+    gs_x, gs_a = jax.grad(loss_s, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(att))
+    np.testing.assert_allclose(
+        np.asarray(gd_x)[:n, :d], np.asarray(gs_x), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gd_a), np.asarray(gs_a), rtol=1e-3, atol=1e-3
+    )
