@@ -180,3 +180,47 @@ def test_directed_graph_has_no_fused_path():
     ptr, cols = coo_to_csr(src, dst, n)
     g = TiledGraph(ptr, cols, n, CFG)
     assert not g.symmetric and g.agnn_aggregate is None
+
+
+def test_sfused_wide_feature_dim_matches_fallback():
+    """Score-fused kernels at d > 128 (lane-tiled padding): fwd + grads
+    match the per-edge path on a power-law graph."""
+    n, d = 300, 150
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, n, 2600)
+    dst = rng.integers(0, n, 2600)
+    keep = src != dst
+    ptr, cols = coo_to_csr(
+        np.concatenate([src[keep], dst[keep]]),
+        np.concatenate([dst[keep], src[keep]]), n,
+    )
+    cfg = TileConfig(blk_h=64, blk_w=64, edge_chunk=64)
+    g = TiledGraph(ptr, cols, n, cfg)
+    assert g.symmetric and g.agnn_aggregate is not None
+    g_ref = TiledGraph(ptr, cols, n, cfg, dense_tiles=False)
+    assert g_ref.agnn_aggregate is None
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (n, d), jnp.float32) * 0.1
+    att = jnp.asarray([[0.7, -0.3]], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(g.agnn_aggregate(x, att)),
+        np.asarray(
+            jnp.mean(att)
+            * g_ref.spmm_weighted(x, g_ref.sddmm(x))
+        ),
+        rtol=1e-3, atol=1e-3,
+    )
+
+    def loss(gg):
+        if gg.agnn_aggregate is not None:
+            return lambda xx, aa: jnp.sum(
+                jnp.tanh(gg.agnn_aggregate(xx, aa) * 0.1)
+            )
+        return lambda xx, aa: jnp.sum(
+            jnp.tanh(jnp.mean(aa) * gg.spmm_weighted(xx, gg.sddmm(xx)) * 0.1)
+        )
+
+    gx_f, ga_f = jax.grad(loss(g), argnums=(0, 1))(x, att)
+    gx_r, ga_r = jax.grad(loss(g_ref), argnums=(0, 1))(x, att)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r), rtol=2e-3, atol=2e-3)
