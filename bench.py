@@ -106,6 +106,31 @@ def main():
     epoch_ms, final_loss = measure(hoist=False)
     epoch_ms_hoisted, _ = measure(hoist=True)
 
+    # Driver-captured AGNN datum (4L/h32, the reference's 1_bench_agnn.py
+    # configuration) on the same graph — the score-fused attention path.
+    agnn_ms = None
+    if on_tpu:
+        params = nets.init_net(
+            jax.random.PRNGKey(0), "agnn", ds.num_features, 32,
+            ds.num_classes, 4,
+        )
+        opt_state = optimizer.init(params)
+        step = make_train_step(
+            graph, "agnn", x, y, optimizer, dropout_rate=0.5, hoist=False
+        )
+        key = jax.random.PRNGKey(1)
+        for _ in range(10):
+            params, opt_state, key, aloss = step(params, opt_state, key)
+        float(aloss)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(50):
+                params, opt_state, key, aloss = step(params, opt_state, key)
+            float(aloss)
+            best = min(best, (time.perf_counter() - t0) * 1e3 / 50)
+        agnn_ms = round(best, 4)
+
     print(
         json.dumps(
             {
@@ -114,6 +139,7 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / epoch_ms, 3),
                 "value_hoisted_default": round(epoch_ms_hoisted, 4),
+                "agnn_pubmed_epoch_ms": agnn_ms,
                 "prep_ms": round(prep_ms, 1),
                 "tc_blocks": graph.tc_blocks,
                 "backend": jax.default_backend(),
