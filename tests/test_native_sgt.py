@@ -119,3 +119,39 @@ def test_native_chunk_layout_matches_numpy():
         np.testing.assert_array_equal(
             getattr(m_nat, f), getattr(m_np, f), err_msg=f
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_vs_numpy_fuzz_multigraph(seed):
+    """Random multigraphs (duplicate edges, empty windows, isolated tail
+    rows): native and numpy translations agree on every emitted field."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 400))
+    e = int(rng.integers(10, 2000))
+    src = rng.integers(0, max(n - 7, 1), e)  # leave empty tail windows
+    dst = rng.integers(0, max(n - 7, 1), e)
+    dup = rng.integers(0, e, e // 3)  # force duplicate edges
+    src = np.concatenate([src, src[dup]])
+    dst = np.concatenate([dst, dst[dup]])
+    ptr, cols = coo_to_csr(src, dst, n)
+    cfg = TileConfig(blk_h=32, blk_w=16, edge_chunk=8)
+    from tcgnn_tpu.sgt import native
+
+    if not native.available():
+        pytest.skip("no native lib")
+    m_nat = sparse_graph_translate(ptr, cols, n, cfg, impl="native",
+                                   build_tiles=True)
+    m_np = sparse_graph_translate(ptr, cols, n, cfg, impl="numpy",
+                                  build_tiles=True)
+    for f in (
+        "block_partition", "col_ids", "block_window",
+        "block_first_in_window", "edge_pos", "a_tiles",
+        "chunk_r", "chunk_c", "chunk_edge_id", "chunk_block",
+        "chunk_window", "chunk_first_in_window", "chunk_first_in_block",
+        "edge_perm",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(m_nat, f)), np.asarray(getattr(m_np, f)),
+            err_msg=f"{f} seed={seed}",
+        )
+    assert m_nat.num_real_blocks == m_np.num_real_blocks
