@@ -76,14 +76,20 @@ def main():
     # gets its JSON line while the tunnel is down.
     epochs, reps = (200, 3) if on_tpu else (10, 2)
 
-    def measure(hoist):
-        """Best-of-N avg epoch ms (tunnel stalls would pollute one rep)."""
+    def measure(hoist, kind="gcn", hidden=16, layers=2, n_epochs=None,
+                n_reps=None):
+        """Best-of-N avg epoch ms (tunnel stalls would pollute one rep).
+        ONE timing harness for every datum — the scalar-fetch sync pattern
+        (CLAUDE.md invariant) lives here and nowhere else."""
+        n_epochs = epochs if n_epochs is None else n_epochs
+        n_reps = reps if n_reps is None else n_reps
         params = nets.init_net(
-            jax.random.PRNGKey(0), "gcn", ds.num_features, 16, ds.num_classes, 2
+            jax.random.PRNGKey(0), kind, ds.num_features, hidden,
+            ds.num_classes, layers,
         )
         opt_state = optimizer.init(params)
         step = make_train_step(
-            graph, "gcn", x, y, optimizer, dropout_rate=0.5, hoist=hoist
+            graph, kind, x, y, optimizer, dropout_rate=0.5, hoist=hoist
         )
         key = jax.random.PRNGKey(1)
         loss = None
@@ -91,12 +97,12 @@ def main():
             params, opt_state, key, loss = step(params, opt_state, key)
         float(loss)  # scalar fetch = true sync (block_until_ready lies here)
         best, final_loss = float("inf"), None
-        for _ in range(reps):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
-            for _ in range(epochs):
+            for _ in range(n_epochs):
                 params, opt_state, key, loss = step(params, opt_state, key)
             final_loss = float(loss)  # forces the epoch chain before the clock stops
-            best = min(best, (time.perf_counter() - t0) * 1e3 / epochs)
+            best = min(best, (time.perf_counter() - t0) * 1e3 / n_epochs)
         return best, final_loss
 
     # Headline value is measured WITHOUT the layer-1 aggregate hoist so it
@@ -108,28 +114,18 @@ def main():
 
     # Driver-captured AGNN datum (4L/h32, the reference's 1_bench_agnn.py
     # configuration) on the same graph — the score-fused attention path.
+    # OPTIONAL: a failure here must never take down the required GCN JSON
+    # line (the whole point of this file's probe/fallback design).
     agnn_ms = None
     if on_tpu:
-        params = nets.init_net(
-            jax.random.PRNGKey(0), "agnn", ds.num_features, 32,
-            ds.num_classes, 4,
-        )
-        opt_state = optimizer.init(params)
-        step = make_train_step(
-            graph, "agnn", x, y, optimizer, dropout_rate=0.5, hoist=False
-        )
-        key = jax.random.PRNGKey(1)
-        for _ in range(10):
-            params, opt_state, key, aloss = step(params, opt_state, key)
-        float(aloss)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(50):
-                params, opt_state, key, aloss = step(params, opt_state, key)
-            float(aloss)
-            best = min(best, (time.perf_counter() - t0) * 1e3 / 50)
-        agnn_ms = round(best, 4)
+        try:
+            agnn_best, _ = measure(
+                hoist=False, kind="agnn", hidden=32, layers=4,
+                n_epochs=50, n_reps=2,
+            )
+            agnn_ms = round(agnn_best, 4)
+        except Exception as e:  # noqa: BLE001 — secondary datum only
+            print(f"# agnn datum unavailable ({type(e).__name__}: {e})")
 
     print(
         json.dumps(

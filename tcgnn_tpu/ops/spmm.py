@@ -1372,8 +1372,12 @@ def _spmm_sfused_bwd_kernel(
 )
 def _spmm_sfused_bwd_padded(
     x, dy, a_tiles, col_ids, block_window, block_first,
-    *, cfg, num_windows, interpret,
+    *, cfg, num_windows, interpret, xw=None, dyw=None,
 ):
+    """One-pass fused AGNN backward.  ``xw``/``dyw`` optionally override
+    the WINDOW-side sources (distributed split stream: guest windows carry
+    owner rows, so the window layout differs from the gather slab);
+    gathers always read ``x``/``dy`` through ``col_ids``."""
     n_blocks = a_tiles.shape[0]
     d = x.shape[1]
     group = cfg.block_group
@@ -1381,9 +1385,13 @@ def _spmm_sfused_bwd_padded(
     d_pad = lane_pad(d)
     gwin = block_window[::group]
     gfirst = block_first[::group]
+    xw = x if xw is None else xw
+    dyw = dy if dyw is None else dyw
     if cfg.compute_dtype == jnp.bfloat16:
         x = x.astype(jnp.bfloat16)
         dy = dy.astype(jnp.bfloat16)
+        xw = xw.astype(jnp.bfloat16)
+        dyw = dyw.astype(jnp.bfloat16)
 
     def window_pad(a):
         # May exceed the window span (distributed extended slabs) — trim.
@@ -1434,7 +1442,7 @@ def _spmm_sfused_bwd_padded(
             + 2 * num_windows * cfg.blk_h * d_pad * 4,
             transcendentals=0,
         ),
-    )(gwin, gfirst, a_tiles, window_pad(x), window_pad(dy), xg, gather(dy))
+    )(gwin, gfirst, a_tiles, window_pad(xw), window_pad(dyw), xg, gather(dy))
 
 
 def spmm_sfused_bwd(

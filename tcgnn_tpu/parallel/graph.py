@@ -778,14 +778,17 @@ class DistributedTiledGraph:
                 # order-invariant); no column-space kernel, no scatter, no
                 # reverse halo exchange.
                 if pf == 1:
-                    # Score-fused: tiles form in VMEM, never in HBM.
-                    dy_str = jnp.concatenate([dy_loc, dy_g])
-                    y123 = (
-                        sfused_split(x_str, x_ext, dy_ext, m)    # t1
-                        + sfused_split(dy_str, x_ext, None, m)   # t2a
-                        + sfused_split(x_str, dy_ext, x_ext, m)  # t2b
+                    # Score-fused one-pass backward: tiles form in VMEM,
+                    # each gathered slab is read once, and u rides along.
+                    # Window sources are the split layout (own + guest
+                    # rows); gathers read the extended halo slabs.
+                    y123, u = _spmm_sfused_bwd_padded(
+                        x_ext, dy_ext, m["a_tiles"][0],
+                        m["col_ids_ext"][0], m["block_window"][0],
+                        m["block_first"][0],
+                        cfg=cfg, num_windows=ag_nw, interpret=interpret,
+                        xw=x_str, dyw=jnp.concatenate([dy_loc, dy_g]),
                     )
-                    u = sfused_split(x_str, x_ext, None, m)
                 else:
                     s = s_tiles_split(x_str, x_ext, m)   # S_ij = <x_i, x_j>
                     t = s_tiles_split(
