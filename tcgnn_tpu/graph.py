@@ -343,18 +343,42 @@ class TiledGraph:
                         pack.shape[0] * pack.shape[1] * pack.shape[2]
                     )
                     if pack_elems + 1 < 2**31:
-                        cov_pack = jnp.asarray(
-                            m.packed_cov_idx().astype(np.int32)
-                        )
+                        cov_np = m.packed_cov_idx().astype(np.int32)
+                        cov_pack = jnp.asarray(cov_np)
+                        # Per-edge GATHER index for the BD SDDMM: the
+                        # inverse of the scatter the round-3 path paid
+                        # (``e.at[cov_ids].set`` — an E-element XLA scatter
+                        # dominating the standalone SDDMM on the
+                        # biomolecule graphs).  Fully covered graphs have
+                        # cov_edge_ids == arange(E), so cov_pack already
+                        # IS in edge order; partial coverage inverts the
+                        # permutation host-side and selects residual
+                        # scores with a second small gather + where.
+                        if m.coverage == 1.0:
+                            pos_edge, res_sel = cov_pack, None
+                        else:
+                            pos = np.zeros(self.num_edges, np.int32)
+                            pos[m.cov_edge_ids] = cov_np
+                            pos_edge = jnp.asarray(pos)
+                            rt = np.zeros(self.num_edges, np.int32)
+                            rt[m.res_edge_ids] = np.arange(
+                                len(m.res_edge_ids), dtype=np.int32
+                            )
+                            is_res = np.zeros(self.num_edges, bool)
+                            is_res[m.res_edge_ids] = True
+                            res_sel = (jnp.asarray(rt), jnp.asarray(is_res))
                     else:
-                        cov_pack = None
+                        cov_pack = pos_edge = res_sel = None
                     cov_ids = jnp.asarray(m.cov_edge_ids.astype(np.int32))
                     res_ids = (
                         None
                         if m.res_edge_ids is None
                         else jnp.asarray(m.res_edge_ids.astype(np.int32))
                     )
-                    return (pack, res_meta, res_a, cov_pack, cov_ids, res_ids)
+                    return (
+                        pack, res_meta, res_a, cov_pack, cov_ids, res_ids,
+                        pos_edge, res_sel,
+                    )
 
                 bd_pack_f = bd_dev(bdm)
                 bd_pack_t = bd_pack_f if symmetric else bd_dev(bdm_t)
@@ -493,7 +517,7 @@ class TiledGraph:
             )
 
             def _bd_weighted(x, w_dir, pack, offsets):
-                tiles, res_meta, _, cov_pack, cov_ids, res_ids = pack
+                tiles, res_meta, _, cov_pack, cov_ids, res_ids = pack[:6]
                 bp, bn = tiles.shape[0], tiles.shape[1]
                 wt = bd_scatter_weights(
                     w_dir[cov_ids], cov_pack,
@@ -520,20 +544,22 @@ class TiledGraph:
                     )
 
                 def sddmm_f(xa, xb):
-                    tiles, res_meta, _, cov_pack, cov_ids, res_ids = bd_pack_f
+                    (tiles, res_meta, _, _, _, _, pos_edge, res_sel) = bd_pack_f
                     bp, bn = tiles.shape[0], tiles.shape[1]
                     s = bd_score_tiles(
                         xa, xb, bp=bp, bn=bn, offsets=self._bd_offsets,
                         cfg=cfg, interpret=interpret,
                     )
-                    e = jnp.zeros((n_edges,), jnp.float32)
-                    e = e.at[cov_ids].set(s.reshape(-1)[cov_pack])
-                    if res_meta is not None:
-                        e = e.at[res_ids].set(
-                            sddmm_tc_dense(
-                                xa, res_meta, xb, interpret=interpret
-                            )
+                    # Gather-only per-edge emission (see bd_dev: pos_edge is
+                    # the packed score position in CSR edge order) — no
+                    # E-element scatter anywhere on this path.
+                    e = s.reshape(-1)[pos_edge]
+                    if res_sel is not None:
+                        r = sddmm_tc_dense(
+                            xa, res_meta, xb, interpret=interpret
                         )
+                        rt, is_res = res_sel
+                        e = jnp.where(is_res, r[rt], e)
                     return e
 
             else:

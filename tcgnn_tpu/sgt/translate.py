@@ -494,6 +494,16 @@ def build_a_tiles_host(meta: SGTMeta, weights: Optional[np.ndarray] = None) -> n
         return meta.a_tiles  # fused into the native pass
     cfg = meta.config
     size = meta.num_blocks * cfg.blk_h * cfg.blk_w
+    if weights is None:
+        # One-pass direct build, then an exact integer sum check: simple
+        # graphs (all AE graphs) have one edge per tile slot, so assignment
+        # == bincount and skips bincount's int64 intermediate (3 full-size
+        # passes on multi-hundred-MB tile arrays).  A collapsed duplicate
+        # makes the count come up short -> redo with the exact bincount.
+        flat = np.zeros(size, np.float32)
+        flat[meta.edge_pos] = 1.0
+        if int(flat.sum(dtype=np.int64)) == meta.num_edges:
+            return flat.reshape(meta.num_blocks, cfg.blk_h, cfg.blk_w)
     flat = np.bincount(
         meta.edge_pos,
         weights=None if weights is None else weights.astype(np.float64),
