@@ -343,7 +343,7 @@ class TiledGraph:
                         pack.shape[0] * pack.shape[1] * pack.shape[2]
                     )
                     if pack_elems + 1 < 2**31:
-                        cov_np = m.packed_cov_idx().astype(np.int32)
+                        cov_np = np.asarray(m.packed_cov_idx(), np.int32)
                         cov_pack = jnp.asarray(cov_np)
                         # Per-edge GATHER index for the BD SDDMM: the
                         # inverse of the scatter the round-3 path paid
@@ -369,11 +369,11 @@ class TiledGraph:
                             res_sel = (jnp.asarray(rt), jnp.asarray(is_res))
                     else:
                         cov_pack = pos_edge = res_sel = None
-                    cov_ids = jnp.asarray(m.cov_edge_ids.astype(np.int32))
+                    cov_ids = jnp.asarray(np.asarray(m.cov_edge_ids, np.int32))
                     res_ids = (
                         None
                         if m.res_edge_ids is None
-                        else jnp.asarray(m.res_edge_ids.astype(np.int32))
+                        else jnp.asarray(np.asarray(m.res_edge_ids, np.int32))
                     )
                     return (
                         pack, res_meta, res_a, cov_pack, cov_ids, res_ids,

@@ -82,12 +82,16 @@ class BDMeta:
     # array (covered edges only), aligned with `cov_edge_ids`.
     cov_edge_ids: np.ndarray      # positions of covered edges in CSR order
     cov_flat_idx: np.ndarray      # flat index into tiles[K*B*bin*bin]
+    # Native-pass precomputed packed_cov_idx (None on the numpy path).
+    cov_pack_idx: Optional[np.ndarray] = None
 
     def packed_cov_idx(self) -> np.ndarray:
         """``cov_flat_idx`` ([K, B, bin, bin] layout) re-addressed into the
         kernel's packed [Bp, bin, K*bin] layout (``ops.spmm.build_bd_pack``)
         so per-edge weights/scores scatter/gather straight against the pack.
         Row-major in (b, r, k, c); independent of the Bp bin padding."""
+        if self.cov_pack_idx is not None:
+            return self.cov_pack_idx  # emitted by the native fill pass
         bn, nb, k = self.bin_rows, self.num_bins, len(self.offsets)
         bnbn = bn * bn
         ki, rem = np.divmod(self.cov_flat_idx, nb * bnbn)
@@ -147,18 +151,29 @@ def extract_block_diag(
     of the edges or the tile array would blow the budget (caller falls back
     to the condensed-gather path).
     """
-    ptr = np.asarray(row_pointers, dtype=np.int64)
-    cols = np.asarray(column_index, dtype=np.int64)
+    ptr = np.ascontiguousarray(row_pointers, dtype=np.int64)
+    cols_i32 = np.ascontiguousarray(column_index, dtype=np.int32)
     n = int(num_nodes)
-    e = len(cols)
+    e = len(cols_i32)
     nbins = max(_cdiv(n, bin_rows), 1)
     if e == 0:
         return None
 
-    rows, cols, off = bd_edge_offsets(ptr, cols, bin_rows)
+    # Offset histogram: one native OpenMP pass when the library is
+    # available (sgt.cpp:sgt_bd_hist); otherwise the numpy edge-offset
+    # scan.  Both yield np.unique(off, return_counts=True) semantics.
+    from tcgnn_tpu.sgt import native
+
+    use_native = native.available()
+    if use_native:
+        vals, cnts = native.bd_hist(ptr, cols_i32, bin_rows, nbins)
+        off = None
+    else:
+        rows, cols, off = bd_edge_offsets(ptr, cols_i32, bin_rows)
+        vals, cnts = np.unique(off, return_counts=True)
+    cnt_of = dict(zip(vals.tolist(), cnts.tolist()))
 
     if candidate_offsets is None:
-        vals, cnts = np.unique(off, return_counts=True)
         if len(vals) <= MAX_BD_OFFSETS:
             candidate_offsets = tuple(int(v) for v in vals)
         else:
@@ -176,7 +191,7 @@ def extract_block_diag(
     # Adaptive offset selection: keep a diagonal only when it pays for its
     # own tile stream.  Offset 0 is always kept if present (it anchors the
     # banded structure; without it coverage can't pass the gate anyway).
-    counts = {k: int((off == k).sum()) for k in candidate_offsets}
+    counts = {k: cnt_of.get(k, 0) for k in candidate_offsets}
     if sum(counts.values()) == e:
         # Keeping every non-empty candidate makes the residual empty; skipping
         # the residual SpMM dispatch entirely beats saving a thin diagonal
@@ -193,12 +208,46 @@ def extract_block_diag(
     # wide MXU contraction (tiles packed side-by-side multiply a vertical
     # stack of adjacent x bins) instead of K narrow dots.
     offsets = tuple(sorted(offsets))
-    covered = np.isin(off, offsets)
-    coverage = float(covered.mean())
+    num_cov = sum(counts[k] for k in offsets)
+    coverage = num_cov / e
     if coverage < min_coverage:
         return None
     if len(offsets) * nbins * bin_rows * bin_rows > BD_TILE_BUDGET_BYTES:
         return None
+
+    if use_native:
+        # One counting + one writing OpenMP pass (sgt.cpp:sgt_bd_fill):
+        # covered/residual streams in CSR edge order, plus sorted unique
+        # tile indices from a linear per-offset-segment dedup (the flat
+        # layout is k-major, so no comparison sort is needed).
+        (cov_flat, cov_eid, cov_pack, uniq, cnt_i32,
+         res_counts, res_idx, res_eid) = native.bd_fill(
+            ptr, cols_i32, bin_rows, nbins, offsets,
+            [counts[k] for k in offsets], e - num_cov,
+        )
+        dtype = np.int8 if (len(cnt_i32) == 0 or cnt_i32.max() <= 127) else np.int16
+        if coverage < 1.0:
+            res_ptr = np.cumsum(res_counts, dtype=np.int64).astype(np.int32)
+            res = (res_ptr, res_idx, res_eid)
+        else:
+            res = (None, None, None)
+        return BDMeta(
+            bin_rows=bin_rows,
+            num_bins=nbins,
+            offsets=offsets,
+            tile_idx=uniq,
+            tile_cnt=cnt_i32.astype(dtype),
+            coverage=coverage,
+            res_ptr=res[0],
+            res_idx=res[1],
+            res_edge_ids=res[2],
+            cov_edge_ids=cov_eid,
+            cov_flat_idx=cov_flat,
+            cov_pack_idx=cov_pack,
+        )
+
+    covered = np.isin(off, offsets)
+    coverage = float(covered.mean())
 
     # Duplicate-edge counts via sorted-run lengths (CSR rows/cols are sorted,
     # so equal flat indices are adjacent within an offset class; np.unique

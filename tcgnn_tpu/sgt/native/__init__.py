@@ -85,6 +85,17 @@ def load():
         lib.sgt_chunk_fill.restype = None
         lib.sgt_community.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
         lib.sgt_community.restype = None
+        lib.sgt_bd_hist.argtypes = [
+            ctypes.c_int64, ctypes.c_int, i64p, i32p, ctypes.c_int64, i64p,
+        ]
+        lib.sgt_bd_hist.restype = None
+        lib.sgt_bd_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            i64p, i64p, i64p, i32p,
+            i64p, i32p, i32p, ctypes.c_int, i64p, i64p, i32p,
+            ctypes.POINTER(ctypes.c_int64), i64p, i32p, i32p,
+        ]
+        lib.sgt_bd_fill.restype = None
         _lib = lib
         return _lib
 
@@ -238,3 +249,78 @@ def fill(
             ctypes.byref(overflow),
         )
     return col_ids, edge_pos, a_tiles, bool(overflow.value)
+
+
+def bd_hist(row_ptr: np.ndarray, col_idx: np.ndarray, bin_rows: int, nbins: int):
+    """Block-offset histogram: (offset values present, their edge counts).
+
+    Native replacement for ``np.unique((cols//bin)-(rows//bin),
+    return_counts=True)`` in ``sgt/blockdiag.py`` (one OpenMP pass, no
+    edge-length temporaries).
+    """
+    lib = load()
+    n_rows = len(row_ptr) - 1
+    hist = np.zeros(2 * nbins - 1, np.int64)
+    if n_rows and len(col_idx):
+        lib.sgt_bd_hist(
+            n_rows, bin_rows,
+            np.ascontiguousarray(row_ptr, np.int64),
+            np.ascontiguousarray(col_idx, np.int32),
+            nbins, hist,
+        )
+    nz = np.nonzero(hist)[0]
+    return nz - (nbins - 1), hist[nz]
+
+
+def bd_fill(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    bin_rows: int,
+    nbins: int,
+    offsets,
+    k_counts: np.ndarray,
+    num_res: int,
+):
+    """Covered/residual streams for the block-diagonal decomposition.
+
+    Returns ``(cov_flat, cov_eid, cov_pack, tile_idx, tile_cnt,
+    res_ptr_counts, res_idx, res_eid)`` — see ``sgt.cpp:sgt_bd_fill``.
+    ``res_ptr_counts`` holds per-row residual degrees at ``[r+1]`` (caller
+    cumsums); ``tile_idx``/``tile_cnt`` are already truncated to the unique
+    count.
+    """
+    lib = load()
+    n_rows = len(row_ptr) - 1
+    k = len(offsets)
+    k_base = np.zeros(k + 1, np.int64)
+    np.cumsum(np.asarray(k_counts, np.int64), out=k_base[1:])
+    c = int(k_base[-1])
+    # The packed index range fits int32 iff the [B, bin, K*bin] pack does;
+    # past that graph.py's per-edge BD ops are gated off anyway, so the
+    # pack column is simply skipped (emit_pack=0).
+    emit_pack = int(nbins * bin_rows * k * bin_rows < 2**31)
+    cov_flat = np.zeros(c, np.int64)
+    cov_eid = np.zeros(c, np.int32)
+    cov_pack = np.zeros(c if emit_pack else 1, np.int32)
+    seg_flat = np.zeros(c, np.int64)
+    tile_idx = np.zeros(c, np.int64)
+    tile_cnt = np.zeros(c, np.int32)
+    res_ptr = np.zeros(n_rows + 1, np.int64)
+    res_idx = np.zeros(num_res, np.int32)
+    res_eid = np.zeros(num_res, np.int32)
+    u = ctypes.c_int64(0)
+    if n_rows and (c or num_res):
+        lib.sgt_bd_fill(
+            n_rows, bin_rows, nbins, k,
+            np.ascontiguousarray(offsets, np.int64), k_base,
+            np.ascontiguousarray(row_ptr, np.int64),
+            np.ascontiguousarray(col_idx, np.int32),
+            cov_flat, cov_eid, cov_pack, emit_pack, seg_flat,
+            tile_idx, tile_cnt,
+            ctypes.byref(u), res_ptr, res_idx, res_eid,
+        )
+    nu = int(u.value)
+    return (
+        cov_flat, cov_eid, cov_pack if emit_pack else None,
+        tile_idx[:nu], tile_cnt[:nu], res_ptr, res_idx, res_eid,
+    )

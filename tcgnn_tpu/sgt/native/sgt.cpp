@@ -19,6 +19,10 @@
 #include <cstdint>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 // Pass 1: number of real TC blocks per window (ceil(unique/blk_w); 0 for
@@ -228,6 +232,169 @@ void sgt_rcm(int64_t n, const int64_t* row_ptr, const int32_t* col_idx,
     }
   }
   for (int64_t i = 0; i < n; ++i) perm_out[i] = order[n - 1 - i];
+}
+
+// ---------------------------------------------------------------------------
+// Block-diagonal extraction (sgt/blockdiag.py's hot pass, native).
+//
+// The numpy extraction pass costs seconds on multi-million-edge banded
+// graphs (DD 3 s, YeastH 7 s of host prep) because it makes ~8 full passes
+// over the edge list (offset compute, np.unique histogram, isin mask, K
+// boolean scans, flat-index arithmetic, a full sort inside np.unique on the
+// flat indices).  Native layout insight that kills the sort: the flat tile
+// index (k-major, then bin, then row-in-bin, then col-in-bin) is
+// NON-DECREASING along CSR edge order *within one offset class k* whenever
+// per-row columns are sorted — so the globally sorted unique tile list is
+// just the K per-k streams concatenated in k order and deduped by a linear
+// adjacency scan.  One counting pass + one writing pass, OpenMP over row
+// ranges, no comparison sort (a per-k repair sort runs only if an unsorted
+// CSR is detected).
+
+// Pass 0: histogram of per-edge block offsets (col/bin - row/bin), indexed
+// hist[off + nbins - 1]; hist has 2*nbins-1 slots, zeroed by the caller.
+// Python applies the offset-selection policy to this histogram (it replaces
+// np.unique(off, return_counts=True)).
+void sgt_bd_hist(int64_t n_rows, int bin, const int64_t* row_ptr,
+                 const int32_t* col_idx, int64_t nbins, int64_t* hist) {
+#pragma omp parallel
+  {
+    std::vector<int64_t> local(2 * nbins - 1, 0);
+#pragma omp for schedule(static)
+    for (int64_t r = 0; r < n_rows; ++r) {
+      const int64_t rb = r / bin;
+      for (int64_t e = row_ptr[r]; e < row_ptr[r + 1]; ++e)
+        ++local[col_idx[e] / bin - rb + nbins - 1];
+    }
+#pragma omp critical
+    for (int64_t i = 0; i < 2 * nbins - 1; ++i) hist[i] += local[i];
+  }
+}
+
+// Pass 1+2: given the selected (sorted) offsets, emit in ONE parallel
+// counting pass + ONE parallel writing pass:
+//   cov_flat [C]  — flat tile index of each covered edge, CSR edge order
+//   cov_eid  [C]  — CSR edge id of each covered edge, edge order
+//   tile_idx [<=C], tile_cnt [<=C] — sorted unique flat indices + duplicate
+//       counts (the sparse tile contents); *u_out = number of uniques
+//   res_ptr  [n_rows+1] — residual CSR row counts at [r+1] (caller cumsums)
+//   res_idx  [R], res_eid [R] — residual columns / edge ids, edge order
+// seg_flat [C] is scratch (per-k segments of cov_flat, k-major = sorted).
+// k_base is the exclusive prefix over per-offset edge counts (from the
+// histogram), giving each k's segment base in seg_flat.
+// cov_pack [C] additionally carries each covered edge's index into the
+// kernels' packed [Bp, bin, K*bin] tile layout (ops/spmm.build_bd_pack) —
+// row-major in (b, r, k, c) — which the Python path otherwise re-derives
+// from cov_flat with a chain of full-length divmods (BDMeta.packed_cov_idx,
+// ~1.2 s on DD).  Edge ids and packed indices are emitted as int32 (their
+// consumers' dtype — E and the packed range are int32-gated upstream;
+// emit_pack=0 skips cov_pack when the packed range would overflow).
+void sgt_bd_fill(int64_t n_rows, int bin, int64_t nbins, int K,
+                 const int64_t* offsets /* [K] sorted */,
+                 const int64_t* k_base /* [K+1] */,
+                 const int64_t* row_ptr, const int32_t* col_idx,
+                 int64_t* cov_flat, int32_t* cov_eid, int32_t* cov_pack,
+                 int emit_pack, int64_t* seg_flat,
+                 int64_t* tile_idx, int32_t* tile_cnt, int64_t* u_out,
+                 int64_t* res_ptr /* [n_rows+1], zeroed */,
+                 int32_t* res_idx, int32_t* res_eid) {
+  const int64_t binsq = (int64_t)bin * bin;
+  int n_threads = 1;
+#pragma omp parallel
+  {
+#pragma omp single
+    {
+#ifdef _OPENMP
+      n_threads = omp_get_num_threads();
+#endif
+    }
+  }
+  // Static row ranges; per-range counters for covered / residual / per-k.
+  const int64_t rows_per = (n_rows + n_threads - 1) / n_threads;
+  std::vector<int64_t> base_cov(n_threads + 1, 0), base_res(n_threads + 1, 0);
+  std::vector<int64_t> base_k((int64_t)n_threads * K + K, 0);
+#pragma omp parallel num_threads(n_threads)
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    const int64_t r0 = std::min((int64_t)t * rows_per, n_rows);
+    const int64_t r1 = std::min(r0 + rows_per, n_rows);
+    int64_t c_cov = 0, c_res = 0;
+    std::vector<int64_t> c_k(K, 0);
+    for (int64_t r = r0; r < r1; ++r) {
+      const int64_t rb = r / bin;
+      int64_t res_in_row = 0;
+      for (int64_t e = row_ptr[r]; e < row_ptr[r + 1]; ++e) {
+        const int64_t off = col_idx[e] / bin - rb;
+        int k = -1;
+        for (int i = 0; i < K; ++i)
+          if (offsets[i] == off) { k = i; break; }
+        if (k >= 0) { ++c_cov; ++c_k[k]; }
+        else { ++c_res; ++res_in_row; }
+      }
+      res_ptr[r + 1] = res_in_row;
+    }
+    base_cov[t + 1] = c_cov;
+    base_res[t + 1] = c_res;
+    for (int i = 0; i < K; ++i) base_k[(int64_t)(t + 1) * K + i] = c_k[i];
+#pragma omp barrier
+#pragma omp single
+    {
+      for (int i = 0; i < n_threads; ++i) {
+        base_cov[i + 1] += base_cov[i];
+        base_res[i + 1] += base_res[i];
+        for (int j = 0; j < K; ++j)
+          base_k[(int64_t)(i + 1) * K + j] += base_k[(int64_t)i * K + j];
+      }
+    }
+    // Write pass: within a range edges are visited in CSR order and ranges
+    // are row-major, so edge order is globally preserved in every stream.
+    int64_t p_cov = base_cov[t], p_res = base_res[t];
+    std::vector<int64_t> p_k(K);
+    for (int i = 0; i < K; ++i)
+      p_k[i] = k_base[i] + base_k[(int64_t)t * K + i];
+    for (int64_t r = r0; r < r1; ++r) {
+      const int64_t rb = r / bin;
+      for (int64_t e = row_ptr[r]; e < row_ptr[r + 1]; ++e) {
+        const int64_t c = col_idx[e];
+        const int64_t off = c / bin - rb;
+        int k = -1;
+        for (int i = 0; i < K; ++i)
+          if (offsets[i] == off) { k = i; break; }
+        if (k >= 0) {
+          const int64_t cc = c - (rb + off) * bin;
+          const int64_t flat =
+              ((int64_t)k * nbins + rb) * binsq + (r % bin) * bin + cc;
+          cov_flat[p_cov] = flat;
+          cov_eid[p_cov] = (int32_t)e;
+          if (emit_pack)
+            cov_pack[p_cov] =
+                (int32_t)(r * ((int64_t)K * bin) + (int64_t)k * bin + cc);
+          ++p_cov;
+          seg_flat[p_k[k]++] = flat;
+        } else {
+          res_idx[p_res] = (int32_t)c;
+          res_eid[p_res++] = (int32_t)e;
+        }
+      }
+    }
+  }
+  // Per-k segments are sorted for row-sorted CSR inputs; repair-sort a
+  // segment only if an unsorted input is detected (multigraph fuzz inputs).
+  const int64_t C = k_base[K];
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int k = 0; k < K; ++k)
+    if (!std::is_sorted(seg_flat + k_base[k], seg_flat + k_base[k + 1]))
+      std::sort(seg_flat + k_base[k], seg_flat + k_base[k + 1]);
+  // Linear dedup over the k-major (globally sorted) stream.
+  int64_t u = 0;
+  for (int64_t i = 0; i < C; ++i) {
+    if (u > 0 && tile_idx[u - 1] == seg_flat[i]) ++tile_cnt[u - 1];
+    else { tile_idx[u] = seg_flat[i]; tile_cnt[u] = 1; ++u; }
+  }
+  *u_out = u;
 }
 
 // Community (Rabbit-style) ordering over a *symmetric* CSR (caller passes

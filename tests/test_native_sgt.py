@@ -155,3 +155,60 @@ def test_native_vs_numpy_fuzz_multigraph(seed):
             err_msg=f"{f} seed={seed}",
         )
     assert m_nat.num_real_blocks == m_np.num_real_blocks
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_native_vs_numpy_bd_extract_fuzz(seed):
+    """Native block-diagonal extraction (sgt.cpp:sgt_bd_hist/sgt_bd_fill)
+    vs the numpy pass on random banded / power-law / multigraph inputs:
+    identical selection, streams, tile contents, and packed indices."""
+    from tcgnn_tpu.sgt import blockdiag as bd
+
+    if not native.available():
+        pytest.skip("no native lib")
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 2500))
+    e = int(rng.integers(2, 6 * n))
+    mode = seed % 4
+    src = rng.integers(0, n, e)
+    if mode == 3:  # unbanded (power-law-ish): exercises the None gate
+        dst = rng.integers(0, n, e)
+    else:
+        band = int(rng.integers(1, 300))
+        dst = np.clip(src + rng.integers(-band, band + 1, e), 0, n - 1)
+    if mode == 1:  # duplicate edges (multigraph tile counts)
+        dup = rng.integers(0, e, e // 8)
+        src = np.concatenate([src, src[dup]])
+        dst = np.concatenate([dst, dst[dup]])
+    ptr, cols = coo_to_csr(src, dst, n)
+
+    for cand in (None, (0, -1, 1)):
+        kw = dict(
+            bin_rows=128, candidate_offsets=cand,
+            min_coverage=0.0 if mode == 2 else 0.85,
+        )
+        m_nat = bd.extract_block_diag(ptr, cols, n, **kw)
+        # Force the numpy reference path.
+        orig = native.available
+        native.available = lambda: False
+        try:
+            m_np = bd.extract_block_diag(ptr, cols, n, **kw)
+        finally:
+            native.available = orig
+        assert (m_nat is None) == (m_np is None), (seed, cand)
+        if m_nat is None:
+            continue
+        assert m_nat.offsets == m_np.offsets
+        assert abs(m_nat.coverage - m_np.coverage) < 1e-12
+        np.testing.assert_array_equal(
+            m_nat.packed_cov_idx(), m_np.packed_cov_idx()
+        )
+        for f in (
+            "tile_idx", "tile_cnt", "cov_edge_ids", "cov_flat_idx",
+            "res_ptr", "res_idx", "res_edge_ids",
+        ):
+            x, y = getattr(m_nat, f), getattr(m_np, f)
+            if x is None and y is None:
+                continue
+            np.testing.assert_array_equal(x, y, err_msg=f"{f} seed={seed}")
