@@ -37,6 +37,7 @@ from tcgnn_tpu.ops.spmm import (
     BD_BIN_GROUP,
     bd_scatter_weights,
     bd_score_tiles,
+    bd_sddmm_edges,
     bd_sfused,
     bd_sfused_bwd,
     build_a_tiles,
@@ -270,6 +271,7 @@ class TiledGraph:
         # power-law graphs keep the condensed-gather design automatically.
         self.block_diag = False
         self._bd_offsets = self._bd_offsets_t = None
+        self._bd_sddmm_chunks = None
         self._bd_full_coverage = False
         self._bd_addressable = False
         bd_pack_f = bd_pack_t = None
@@ -345,43 +347,79 @@ class TiledGraph:
                     if pack_elems + 1 < 2**31:
                         cov_np = np.asarray(m.packed_cov_idx(), np.int32)
                         cov_pack = jnp.asarray(cov_np)
-                        # Per-edge GATHER index for the BD SDDMM: the
-                        # inverse of the scatter the round-3 path paid
-                        # (``e.at[cov_ids].set`` — an E-element XLA scatter
-                        # dominating the standalone SDDMM on the
-                        # biomolecule graphs).  Fully covered graphs have
-                        # cov_edge_ids == arange(E), so cov_pack already
-                        # IS in edge order; partial coverage inverts the
-                        # permutation host-side and selects residual
-                        # scores with a second small gather + where.
+                        # Per-edge packed positions in CSR edge order for
+                        # the chunked BD SDDMM (ops/spmm.bd_sddmm_edges).
+                        # Packed positions are non-decreasing along CSR
+                        # edge order (bin-major pack, row-major edges), so
+                        # each bin-chunk's edges form one contiguous range.
+                        # Residual edges carry their predecessor's position
+                        # (monotone forward-fill) — their emitted values
+                        # are garbage overwritten by the residual scatter.
                         if m.coverage == 1.0:
-                            pos_edge, res_sel = cov_pack, None
+                            pos_np = cov_np
                         else:
                             pos = np.zeros(self.num_edges, np.int32)
                             pos[m.cov_edge_ids] = cov_np
-                            pos_edge = jnp.asarray(pos)
-                            rt = np.zeros(self.num_edges, np.int32)
-                            rt[m.res_edge_ids] = np.arange(
-                                len(m.res_edge_ids), dtype=np.int32
-                            )
-                            is_res = np.zeros(self.num_edges, bool)
-                            is_res[m.res_edge_ids] = True
-                            res_sel = (jnp.asarray(rt), jnp.asarray(is_res))
+                            ff = np.zeros(self.num_edges, np.int64)
+                            ff[m.cov_edge_ids] = m.cov_edge_ids
+                            np.maximum.accumulate(ff, out=ff)
+                            pos_np = pos[ff]
+                        # Chunk geometry: bins per chunk sized so each
+                        # step's xb slab stays ~10 MB — row-gather rate
+                        # rises steeply with source locality (measured on
+                        # DD: 44 ms monolithic, 12.7 ms at 160 MB slabs,
+                        # 7.6 ms at 7.5 MB; fixed per-chunk costs take
+                        # over below that).
+                        kw = len(m.offsets) * m.bin_rows
+                        chunk_bins = max(1, (10 << 20) // (kw * 128 * 2))
+                        n_chunks = max(1, -(-pack.shape[0] // chunk_bins))
+                        chunk_of = pos_np.astype(np.int64) // (
+                            kw * chunk_bins * m.bin_rows
+                        )
+                        e_start_np = np.searchsorted(
+                            chunk_of, np.arange(n_chunks)
+                        ).astype(np.int32)
+                        cap = int(np.max(np.diff(np.append(
+                            e_start_np, self.num_edges
+                        ))))
+                        cap = max(-(-cap // 512) * 512, 512)
+                        pos_pad = jnp.asarray(np.concatenate(
+                            [pos_np, np.zeros(cap, np.int32)]
+                        ))
+                        e_start = jnp.asarray(e_start_np)
+                        chunk_static = (chunk_bins, n_chunks, cap)
                     else:
-                        cov_pack = pos_edge = res_sel = None
+                        cov_pack = pos_pad = e_start = None
+                        chunk_static = None
                     cov_ids = jnp.asarray(np.asarray(m.cov_edge_ids, np.int32))
                     res_ids = (
                         None
                         if m.res_edge_ids is None
                         else jnp.asarray(np.asarray(m.res_edge_ids, np.int32))
                     )
+                    if m.res_ptr is not None:
+                        # Residual (row, col) pairs in residual-CSR order
+                        # for the SDDMM's per-edge dots (R is a few % of E;
+                        # two R-row global gathers beat a per-block Pallas
+                        # pass over the sparse residual geometry).
+                        res_rc = (
+                            jnp.asarray(np.repeat(
+                                np.arange(self.num_nodes, dtype=np.int32),
+                                np.diff(m.res_ptr),
+                            )),
+                            jnp.asarray(np.asarray(m.res_idx, np.int32)),
+                        )
+                    else:
+                        res_rc = None
                     return (
                         pack, res_meta, res_a, cov_pack, cov_ids, res_ids,
-                        pos_edge, res_sel,
-                    )
+                        pos_pad, e_start, res_rc,
+                    ), chunk_static
 
-                bd_pack_f = bd_dev(bdm)
-                bd_pack_t = bd_pack_f if symmetric else bd_dev(bdm_t)
+                bd_pack_f, self._bd_sddmm_chunks = bd_dev(bdm)
+                bd_pack_t = (
+                    bd_pack_f if symmetric else bd_dev(bdm_t)[0]
+                )
                 self._bd_addressable = (
                     bd_pack_f[3] is not None and bd_pack_t[3] is not None
                 )
@@ -544,22 +582,33 @@ class TiledGraph:
                     )
 
                 def sddmm_f(xa, xb):
-                    (tiles, res_meta, _, _, _, _, pos_edge, res_sel) = bd_pack_f
-                    bp, bn = tiles.shape[0], tiles.shape[1]
-                    s = bd_score_tiles(
-                        xa, xb, bp=bp, bn=bn, offsets=self._bd_offsets,
-                        cfg=cfg, interpret=interpret,
+                    (tiles, _, _, _, _, res_ids,
+                     pos_pad, e_start, res_rc) = bd_pack_f
+                    bn = tiles.shape[1]
+                    cb, nc, cap = self._bd_sddmm_chunks
+                    # Edge-dot-only chunked path (ops/spmm.bd_sddmm_edges):
+                    # computes the E dots and nothing else — no score-pack
+                    # materialization, no E-element scatter OR flat gather.
+                    e = bd_sddmm_edges(
+                        xa, xb, pos_pad, e_start,
+                        num_edges=n_edges, cap=cap, chunk_bins=cb,
+                        n_chunks=nc, bn=bn, offsets=self._bd_offsets,
+                        cfg=cfg,
                     )
-                    # Gather-only per-edge emission (see bd_dev: pos_edge is
-                    # the packed score position in CSR edge order) — no
-                    # E-element scatter anywhere on this path.
-                    e = s.reshape(-1)[pos_edge]
-                    if res_sel is not None:
-                        r = sddmm_tc_dense(
-                            xa, res_meta, xb, interpret=interpret
+                    if res_rc is not None:
+                        # Residual scores: per-edge dots via two R-row
+                        # global gathers, landed by an R-element scatter
+                        # (R ~ a few % of E).  An E-wide where/gather
+                        # merge here measured 12 ms on DD alone; the
+                        # condensed Pallas residual pass another ~2 ms.
+                        ct = cfg.compute_dtype
+                        rr, rc_ = res_rc
+                        r = jnp.sum(
+                            (xa.astype(ct)[rr] * xb.astype(ct)[rc_]
+                             ).astype(jnp.float32),
+                            axis=1,
                         )
-                        rt, is_res = res_sel
-                        e = jnp.where(is_res, r[rt], e)
+                        e = e.at[res_ids].set(r)
                     return e
 
             else:

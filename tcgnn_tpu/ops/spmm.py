@@ -495,6 +495,77 @@ def bd_score_tiles(xa, xb, *, bp, bn, offsets, cfg, interpret, out_dtype=None):
 
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_edges", "cap", "chunk_bins", "n_chunks", "bn", "offsets", "cfg",
+    ),
+)
+def bd_sddmm_edges(
+    xa, xb, pos_pad, e_start, *,
+    num_edges, cap, chunk_bins, n_chunks, bn, offsets, cfg,
+):
+    """Per-edge BD SDDMM: ``e[i] = <xa[row_i], xb[col_i]>`` in CSR order.
+
+    The packed-score formulation (``bd_score_tiles`` + flat gather) computes
+    every cell of the [Bp, bn, K*bn] pack — ~100-200x more dot products
+    than the E edges need on the biomolecule graphs — and then pays XLA's
+    elementwise-gather floor (~0.14 G elem/s measured) to extract them.
+    This path computes ONLY the edge dots: a ``fori_loop`` over bin chunks
+    where each step row-gathers the chunk's edges' xa/xb rows from
+    chunk-LOCAL slices (tens of MB — row gathers from small sources run
+    ~3x faster than from the full array, measured 10 ms vs 48 ms for 3.9M
+    rows) and reduces their elementwise product.  Per-edge results land at
+    ``dynamic_update_slice(out, vals, e_start[ci])``: packed positions are
+    non-decreasing in CSR edge order (bin-major pack, row-major edges), so
+    each chunk's edges are one contiguous range and a later chunk's write
+    overwrites the previous chunk's padding garbage — no compaction gather.
+
+    ``pos_pad`` is the per-edge packed position (monotone; residual edges
+    carry their predecessor's position and are overwritten by the caller's
+    residual merge), padded by ``cap`` so every chunk can slice a full
+    window.  Matches the role of the reference's SDDMM kernel
+    (TCGNN_kernel.cu:584-728) — same cost class as its SpMM.
+    """
+    ct = cfg.compute_dtype
+    k = len(offsets)
+    kw = k * bn
+    d = xa.shape[1]
+    bp_pad = n_chunks * chunk_bins
+    kmin, kmax = min(0, min(offsets)), max(0, max(offsets))
+    n = xa.shape[0]
+    xa_p = jnp.pad(xa.astype(ct), ((0, bp_pad * bn - n), (0, 0)))
+    xb_p = jnp.pad(
+        xb.astype(ct), ((-kmin * bn, (bp_pad * bn - n) + kmax * bn), (0, 0))
+    )
+    out = jnp.zeros((num_edges + cap,), jnp.float32)
+
+    def step(ci, out):
+        b0 = ci * chunk_bins
+        xa_c = jax.lax.dynamic_slice_in_dim(
+            xa_p, b0 * bn, chunk_bins * bn, 0
+        )
+        parts = [
+            jax.lax.dynamic_slice_in_dim(
+                xb_p, (b0 + off - kmin) * bn, chunk_bins * bn, 0
+            ).reshape(chunk_bins, bn, d)
+            for off in offsets
+        ]
+        # [CB, K, bn, d] -> flat rows addressed by b_loc*K*bn + j.
+        xs_c = jnp.stack(parts, axis=1).reshape(chunk_bins * kw, d)
+        es = e_start[ci]
+        p = jax.lax.dynamic_slice_in_dim(pos_pad, es, cap, 0)
+        r_loc = p // kw - b0 * bn          # packed row within the chunk
+        j = p % kw                          # lane within the packed row
+        ga = jnp.take(xa_c, r_loc, axis=0, mode="clip")
+        gb = jnp.take(xs_c, (r_loc // bn) * kw + j, axis=0, mode="clip")
+        vals = jnp.sum((ga * gb).astype(jnp.float32), axis=1)
+        return jax.lax.dynamic_update_slice(out, vals, (es,))
+
+    out = jax.lax.fori_loop(0, n_chunks, step, out)
+    return out[:num_edges]
+
+
 def bd_scatter_weights(w_cov, cov_pack_idx, *, bp, bn, k, dtype):
     """Per-edge weights -> packed [Bp, bn, K*bn] weighted tiles.
 
