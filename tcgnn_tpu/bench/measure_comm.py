@@ -21,7 +21,13 @@ import sys
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--datasets", nargs="*", default=["pubmed", "ppi", "artist"])
+    p.add_argument(
+        "--datasets", nargs="*",
+        default=[
+            "pubmed", "ppi", "artist", "amazon0505", "amazon0601",
+            "com-amazon", "soc-BlogCatalog", "reddit",
+        ],
+    )
     p.add_argument("--shards", nargs="*", type=int, default=[4, 8])
     p.add_argument("--dim", type=int, default=16)
     p.add_argument("--classes", type=int, default=4)
@@ -57,8 +63,9 @@ def main(argv=None):
     f = open(args.out, "w")
     f.write(
         "dataset,shards,measured_a2a_bytes,measured_a2a_count,"
-        "measured_ag_bytes,measured_ppermute_bytes,modeled_halo_rows,"
-        "modeled_halo_bytes_f32,ratio_a2a_vs_model,dcn_frac_cph4\n"
+        "measured_ag_bytes,measured_ppermute_bytes,boundary_rows,"
+        "modeled_a2a_bytes,ratio_a2a_vs_model,ideal_boundary_bytes,"
+        "padding_overhead,dcn_frac_cph4\n"
     )
     for name in args.datasets:
         ds = synthetic.synthesize(name, args.dim, args.classes)
@@ -94,10 +101,37 @@ def main(argv=None):
                 ds.row_pointers, ds.column_index, ds.num_nodes, g, config=cfg
             )
             halo_rows = sum(s["boundary"] for s in shards)
-            # One spmm's halo: boundary rows x sharded width (f32).  The
-            # step runs several halo ops (fwd/bwd per layer); the ratio
-            # column shows how many model-units the program actually moves.
-            halo_bytes = halo_rows * x.shape[1] * 4
+
+            # Program model (per device, per step): each spmm pass runs one
+            # boundary all-to-all of G * halo-CAPACITY rows at the pass's
+            # feature width, plus (on split graphs) one partial-tile return
+            # of G * pair_cap * blk_h rows (parallel/graph.py
+            # halo_exchange / _make_guest_return).  The hoist=False 2-layer
+            # GCN step runs three passes: layer-1 fwd at the sharded input
+            # width, layer-2 fwd and layer-2 dx at the hidden width (dx for
+            # layer 1 is not needed — x is constant).  Round 3 modeled ONE
+            # pass at boundary ROWS x the padded input width, which
+            # over-predicted the measured bytes up to 3x (wrong width per
+            # pass) while ignoring capacity padding (under-counts); this
+            # model tracks the emitted program.
+            def pass_bytes(host, width):
+                b = 0
+                if host.halo is not None:
+                    b += g * int(host.halo["capacity"]) * width * 4
+                if host.split is not None:
+                    b += g * int(host.split["pair_cap"]) * cfg.blk_h * width * 4
+                return b
+
+            hidden = 16
+            model_bytes = (
+                pass_bytes(dg.host_fwd, x.shape[1])
+                + pass_bytes(dg.host_fwd, hidden)
+                + pass_bytes(dg.host_bwd, hidden)
+            )
+            # Ideal boundary volume of the same three passes (no capacity
+            # padding): what a perfectly packed exchange would move.  The
+            # modeled/ideal ratio is the halo padding overhead.
+            ideal_bytes = halo_rows * (x.shape[1] + 2 * hidden) * 4
             pc = None
             if dg.host_fwd is not None and dg.host_fwd.halo is not None:
                 pc = dg.host_fwd.halo.get("pair_counts")
@@ -107,8 +141,10 @@ def main(argv=None):
                 f"{name},{g},{a2a['bytes']},{a2a['count']},"
                 f"{stats['all_gather']['bytes']},"
                 f"{stats['collective_permute']['bytes']},{halo_rows},"
-                f"{halo_bytes},"
-                f"{a2a['bytes'] / halo_bytes if halo_bytes else float('nan'):.3f},"
+                f"{model_bytes},"
+                f"{a2a['bytes'] / model_bytes if model_bytes else float('nan'):.3f},"
+                f"{ideal_bytes},"
+                f"{model_bytes / ideal_bytes if ideal_bytes else float('nan'):.3f},"
                 f"{dcn:.4f}\n"
             )
             f.write(row)

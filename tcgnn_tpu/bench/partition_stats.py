@@ -83,7 +83,16 @@ def shard_stats(row_pointers, column_index, num_nodes, num_shards,
         local_ptr = np.ascontiguousarray(ptr[r0:r1 + 1] - ptr[r0])
         local_cols = cols[ptr[r0]:ptr[r1]]
         uniq = np.unique(local_cols)
-        boundary = int(((uniq < r0) | (uniq >= r1)).sum())
+        remote = uniq[(uniq < r0) | (uniq >= r1)]
+        boundary = int(len(remote))
+        # Per-owner request counts — the halo all_to_all pads every (s, t)
+        # pair to the GLOBAL max pair count (partition.build_halo), so the
+        # program's wire volume is G * max(pair) rows per shard, not the
+        # boundary sum.  Measured-vs-model reconciliation
+        # (bench/measure_comm.py) is exact under this accounting.
+        pair_row = np.bincount(
+            remote // rows_per_shard, minlength=num_shards
+        ).astype(np.int64)
         if native.available():
             per_win = native.count_blocks(
                 local_ptr, np.ascontiguousarray(local_cols, np.int32),
@@ -97,7 +106,7 @@ def shard_stats(row_pointers, column_index, num_nodes, num_shards,
             ).block_partition
         blocks = int(_pad_blocks(np.asarray(per_win, np.int64), config).sum())
         shards.append(dict(edges=int(len(local_cols)), boundary=boundary,
-                           blocks=blocks))
+                           blocks=blocks, pair_row=pair_row))
     return rows_per_shard, shards
 
 
@@ -114,11 +123,20 @@ def roofline(shards, rows_per_shard, dim, config: TileConfig = DEFAULT_CONFIG):
         t_hbm = (tile_bytes + gather_bytes + out_bytes) / HBM_BPS
         t_mxu = s["blocks"] * config.blk_h * config.blk_w * d * 2 / MXU_FLOPS
         t_local.append(max(t_hbm, t_mxu))
-        # ICI per shard: receive its boundary rows (and send a like amount);
-        # the all_to_all is overlapped with the local-class kernel. The
-        # collective moves *logical* bytes (XLA relayouts on the wire), so
-        # this uses the un-padded width — HBM above uses the padded one.
-        t_ici.append(s["boundary"] * max(dim, 8) * BF16 / ICI_BPS)
+    # ICI: the halo all_to_all pads every shard pair to the global max pair
+    # count H (partition.build_halo), so EVERY shard moves G*H rows per
+    # pass regardless of its own boundary — the program model that
+    # bench/measure_comm.py reconciles byte-exactly against compiled HLO.
+    # (Round 3 modeled per-shard boundary rows, over-predicting scaling
+    # pressure up to 3x on the padded pairs.)  The collective moves
+    # *logical* bytes (XLA relayouts on the wire), so this uses the
+    # un-padded width — HBM above uses the padded one.
+    g = len(shards)
+    cap = max(
+        (int(s["pair_row"].max()) for s in shards if len(s["pair_row"])),
+        default=0,
+    )
+    t_ici = [g * cap * max(dim, 8) * BF16 / ICI_BPS] * g
     t_local_max = max(t_local)
     t_ici_max = max(t_ici)
     total_blocks = sum(x["blocks"] for x in shards)

@@ -665,6 +665,22 @@ class TiledGraph:
             def sddmm_f(xa, xb):
                 return sddmm_tc(xa, meta, xb, interpret=interpret)
 
+        # Public op boundary is f32: the kernels STORE their outputs in the
+        # compute dtype (half-width HBM writes under bf16 — measured
+        # +0.7 ms per DD pass for an f32 store), and this cast fuses into
+        # each consumer's first elementwise op, so no extra HBM pass is
+        # paid.  Keeping the boundary f32 also keeps custom_vjp cotangent
+        # dtypes consistent regardless of schedule (hoisted l1 aggregates
+        # are f32 dots).
+        def _f32(fn):
+            def g(*a):
+                return fn(*a).astype(jnp.float32)
+            return g
+
+        spmm_f, spmm_b = _f32(spmm_f), _f32(spmm_b)
+        spmm_w_f, spmm_w_b = _f32(spmm_w_f), _f32(spmm_w_b)
+        sddmm_f = _f32(sddmm_f)
+
         # ---- unweighted SpMM (TCGNN.forward / backward) -------------------
         @jax.custom_vjp
         def spmm(x):

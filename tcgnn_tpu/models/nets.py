@@ -109,11 +109,16 @@ def apply_net(
     if dropout_key is not None:
         keep = 1.0 - dropout_rate
         mask = jax.random.bernoulli(dropout_key, keep, h.shape)
-        h = jnp.where(mask, h / keep, 0.0)
+        # Scale via a dtype-matched multiply: aggregates arrive in the
+        # compute dtype (the kernels store bf16 under bf16 configs).
+        h = jnp.where(mask, h * jnp.asarray(1.0 / keep, h.dtype), 0.0)
     for p in params[1:-1]:
         h = jax.nn.relu(conv(p, h, graph))
     h = conv(params[-1], h, graph)
     if num_valid_classes is not None and num_valid_classes < h.shape[1]:
         col = jnp.arange(h.shape[1])[None, :]
         h = jnp.where(col < num_valid_classes, h, -1e30)
-    return jax.nn.log_softmax(h, axis=1)
+    # Loss math in f32 regardless of the compute dtype: log-softmax over
+    # bf16 logits costs real precision on the NLL, and the cast fuses into
+    # this op (no extra HBM pass).
+    return jax.nn.log_softmax(h.astype(jnp.float32), axis=1)

@@ -247,10 +247,11 @@ def build_a_tiles(
 
 
 def _spmm_grouped_kernel(
-    gwin_ref, gfirst_ref, a_ref, xg_ref, o_ref, *, blk_h, blk_w, group, compute_dtype
+    gwin_ref, gfirst_ref, glast_ref, a_ref, xg_ref, o_ref, acc_ref,
+    *, blk_h, blk_w, group, compute_dtype
 ):
     i = pl.program_id(1)
-    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    acc = jnp.zeros(acc_ref.shape, jnp.float32)
     for k in range(group):
         acc += jnp.dot(
             a_ref[k].astype(compute_dtype),
@@ -259,13 +260,22 @@ def _spmm_grouped_kernel(
             precision=_mxu_precision(compute_dtype),
         )
 
+    # Cross-group accumulation runs in an f32 VMEM scratch; the output ref
+    # (compute dtype) is stored once, on the window's last group.  This
+    # keeps f32 accumulation exactness while letting bf16 runs write a
+    # half-width output stream (the f32 [*, 128]-lane store measured
+    # +0.7 ms on DD's BD kernel; same economics here).
     @pl.when(gfirst_ref[i] == 1)
     def _():
-        o_ref[:] = acc
+        acc_ref[:] = acc
 
     @pl.when(gfirst_ref[i] == 0)
     def _():
-        o_ref[:] += acc
+        acc_ref[:] += acc
+
+    @pl.when(glast_ref[i] == 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -309,9 +319,13 @@ def _spmm_dense_padded(
 
     # Per-group scalars: groups never straddle windows, so the group's
     # window is its first block's, and it initializes the output tile iff
-    # its first block is the window's first.
+    # its first block is the window's first.  A group is its window's LAST
+    # iff the next group starts a new window (scratch flush point).
     gwin = block_window[::group]
     gfirst = block_first[::group]
+    glast = jnp.concatenate(
+        [gfirst[1:], jnp.ones((1,), gfirst.dtype)]
+    )
 
     # bf16 compute: cast *before* the gather so the random-access traffic is
     # half-width too.
@@ -330,33 +344,39 @@ def _spmm_dense_padded(
     )
     flops = 2 * n_dtiles * n_blocks * cfg.blk_h * cfg.blk_w * d_blk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_dtiles, n_blocks // group),
         in_specs=[
             pl.BlockSpec(
-                (group, cfg.blk_h, cfg.blk_w), lambda d, b, win, first: (b, 0, 0)
+                (group, cfg.blk_h, cfg.blk_w),
+                lambda d, b, win, first, last: (b, 0, 0),
             ),
             pl.BlockSpec(
-                (group * cfg.blk_w, d_blk), lambda d, b, win, first: (b, d)
+                (group * cfg.blk_w, d_blk),
+                lambda d, b, win, first, last: (b, d),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (cfg.blk_h, d_blk), lambda d, b, win, first: (win[b], d)
+            (cfg.blk_h, d_blk), lambda d, b, win, first, last: (win[b], d)
         ),
+        scratch_shapes=[pltpu.VMEM((cfg.blk_h, d_blk), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_windows * cfg.blk_h, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_windows * cfg.blk_h, d_pad), cfg.compute_dtype
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=xg.size * xg.dtype.itemsize
             + a_tiles.size * a_tiles.dtype.itemsize
-            + num_windows * cfg.blk_h * d_pad * 4,
+            + num_windows * cfg.blk_h * d_pad
+            * jnp.dtype(cfg.compute_dtype).itemsize,
             transcendentals=0,
         ),
-    )(gwin, gfirst, a_tiles, xg)
+    )(gwin, gfirst, glast, a_tiles, xg)
 
 
 def spmm_tc_dense(
@@ -811,6 +831,79 @@ def build_bd_pack(tile_idx, tile_cnt, *, k, nbins, bn) -> jnp.ndarray:
     return packed
 
 
+def _bd_plain_kernel(t_ref, r0, r1, r2, o_ref, *, bn, group, offsets,
+                     compute_dtype):
+    """Unfused BD SpMM grid step: ``out[g] = tiles[g] @ concat(x bins)``.
+
+    The ``_bd_sfused_kernel`` DMA pattern minus the score matmuls: the
+    int8 pack is upcast in VMEM (the XLA einsum path materializes a bf16
+    copy of the whole pack in HBM — 430 MB on DD) and the K-shifted
+    feature stack is concatenated from three contiguous panels in VMEM
+    (the einsum path writes the [Bp, K*bn, d] halo stack to HBM — 322 MB
+    on DD, read back once more).  Measured on DD dim 96: 6.1 ms (einsum)
+    -> 2.6 ms here.
+    """
+    prec = _mxu_precision(compute_dtype)
+    slab = jnp.concatenate([r0[:], r1[:], r2[:]], axis=0)  # [3*G*bn, d]
+    for g in range(group):
+        xs = jnp.concatenate(
+            [
+                slab[(group + g + k) * bn : (group + g + k + 1) * bn]
+                for k in offsets
+            ],
+            axis=0,
+        ).astype(compute_dtype)  # [K*bn, d]
+        o_ref[g * bn : (g + 1) * bn] = jnp.dot(
+            t_ref[g].astype(compute_dtype), xs,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "cfg", "interpret")
+)
+def _spmm_bd_pallas(x, tiles, *, offsets, cfg, interpret):
+    bp, bn = tiles.shape[0], tiles.shape[1]
+    k = len(offsets)
+    g = BD_BIN_GROUP
+    ct = cfg.compute_dtype
+    d = x.shape[1]
+    d_pad = lane_pad(d)
+    p = g * bn
+    xp = jnp.pad(
+        x.astype(ct), ((p, (bp + g) * bn - x.shape[0]), (0, d_pad - d))
+    )
+    panel = lambda off: pl.BlockSpec(
+        (p, d_pad), lambda i, _off=off: (i + _off, 0)
+    )
+    kernel = functools.partial(
+        _bd_plain_kernel, bn=bn, group=g, offsets=offsets, compute_dtype=ct,
+    )
+    # Output in compute dtype: the dot accumulates f32 on the MXU and only
+    # the STORE rounds; every training consumer casts the aggregate to the
+    # compute dtype for its next matmul anyway, while an f32 store is a
+    # [N, 128]-lane-padded write that measured +0.7 ms on DD (d=16 layers
+    # pay the full 128-lane f32 write either way).
+    return pl.pallas_call(
+        kernel,
+        grid=(bp // g,),
+        in_specs=[
+            pl.BlockSpec((g, bn, k * bn), lambda i: (i, 0, 0)),
+            panel(0), panel(1), panel(2),
+        ],
+        out_specs=pl.BlockSpec((p, d_pad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp * bn, d_pad), ct),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * bn * k * bn * d_pad,
+            bytes_accessed=tiles.size * tiles.dtype.itemsize
+            + 3 * bp * bn * d_pad * xp.dtype.itemsize
+            + bp * bn * d_pad * jnp.dtype(ct).itemsize,
+            transcendentals=0,
+        ),
+    )(tiles, xp, xp, xp)
+
+
 def spmm_block_diag(
     x: jnp.ndarray,
     tiles: jnp.ndarray,
@@ -823,10 +916,17 @@ def spmm_block_diag(
 
     ``tiles`` is the packed [B, bin, K*bin] layout (``build_bd_pack``).
     The caller adds the residual-edge contribution (condensed-gather path)
-    when coverage < 1; see ``TiledGraph._make_ops``.
+    when coverage < 1; see ``TiledGraph._make_ops``.  Uses the panel-DMA
+    Pallas kernel when the halo fits the bin group (always true for packs
+    built through ``TiledGraph`` — the BD gate requires it); the XLA
+    einsum form is the fallback for wider custom offset sets.
     """
     if interpret is None:
         interpret = default_interpret()
+    if max(abs(o) for o in offsets) <= BD_BIN_GROUP:
+        return _spmm_bd_pallas(
+            x, tiles, offsets=offsets, cfg=cfg, interpret=interpret
+        )[: x.shape[0], : x.shape[1]]
     return _spmm_bd_core(
         x, tiles, offsets=offsets, cfg=cfg, interpret=interpret
     )[: x.shape[0], : x.shape[1]]

@@ -158,18 +158,51 @@ def make_train_step(
     # lets XLA update Adam moments and weights in place instead of holding
     # both generations in HBM (matters on the big-graph runs where the
     # epoch is bandwidth-bound).
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def _step(params, opt_state, key, x, y, garr, l1_agg):
-        g = graph.bind(garr)
+    def _epoch(params, opt_state, key, x, y, g, l1_agg):
         key, sub = jax.random.split(key)
         loss, grads = jax.value_and_grad(loss_fn)(params, sub, x, y, g, l1_agg)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, key, loss
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _step(params, opt_state, key, x, y, garr, l1_agg):
+        return _epoch(params, opt_state, key, x, y, graph.bind(garr), l1_agg)
+
+    # Device-side epoch loop: N epochs inside ONE compiled program.  The
+    # dynamic trip count means one compile serves every chunk length.  On
+    # remote/tunneled runtimes each separate execution carries multi-ms
+    # per-dispatch overhead (measured 8.7 ms/epoch on DD through axon —
+    # more than the 8.6 ms epoch itself); a device-driven loop is also
+    # simply the TPU-native shape for full-batch training.  The reference
+    # drives epochs from Python (main_tcgnn.py:166-181) because CUDA
+    # launches are ~10 us; the contract here is the same — final loss +
+    # avg epoch time — with the loop lowered into the program.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _steps(params, opt_state, key, n, x, y, garr, l1_agg):
+        g = graph.bind(garr)
+
+        def body(i, carry):
+            params, opt_state, key, _ = carry
+            return _epoch(params, opt_state, key, x, y, g, l1_agg)
+
+        zero = jnp.zeros((), jnp.float32)
+        return jax.lax.fori_loop(
+            0, n, body, (params, opt_state, key, zero)
+        )
+
     def step(params, opt_state, key):
         return _step(params, opt_state, key, x, y, garr, l1_agg)
 
+    def many(params, opt_state, key, n):
+        # n enters as a DEVICE scalar: a Python int would bake the trip
+        # count into the compile and re-trace for every chunk length.
+        return _steps(
+            params, opt_state, key, jnp.asarray(n, jnp.int32),
+            x, y, garr, l1_agg,
+        )
+
+    step.many = many
     return step
 
 
@@ -476,24 +509,40 @@ def main(argv=None):
         # run must not apply extra uncounted updates to the restored
         # state, so it skips straight to the counted epochs (the first one
         # absorbs the compile).
-        for _ in range(1, 10):
-            params, opt_state, key, loss = step(params, opt_state, key)
+        params, opt_state, key, loss = step.many(params, opt_state, key, 9)
         float(loss)
 
+    # Counted epochs run in device-side chunks (`step.many`): the whole
+    # run is one execution unless --checkpoint_dir needs state back every
+    # checkpoint_every epochs.  Checkpoint wall time (device sync + host
+    # npz write) is accumulated and EXCLUDED from the epoch average — it
+    # is not epoch work and would otherwise inflate Train (ms).
     with trace(args.profile_dir):
         start_train = time.perf_counter()
-        for epoch in range(start_epoch + 1, args.epochs + 1):
-            params, opt_state, key, loss = step(params, opt_state, key)
+        ckpt_time = 0.0
+        epoch = start_epoch
+        while epoch < args.epochs:
+            chunk = args.epochs - epoch
+            if args.checkpoint_dir:
+                chunk = min(
+                    chunk, args.checkpoint_every - epoch % args.checkpoint_every
+                )
+            params, opt_state, key, loss = step.many(
+                params, opt_state, key, chunk
+            )
+            epoch += chunk
             if args.checkpoint_dir and epoch % args.checkpoint_every == 0:
+                t0 = time.perf_counter()
                 float(loss)  # sync before snapshotting device state
                 ckpt.save_state(
                     args.checkpoint_dir, params, opt_state, epoch, key=key
                 )
+                ckpt_time += time.perf_counter() - t0
         if loss is None:  # resumed past --epochs: nothing left to run
             print(f"# checkpoint epoch {start_epoch} >= --epochs; no-op")
             return 0.0
         final_loss = float(loss)  # forces the whole epoch chain
-        train_time = time.perf_counter() - start_train
+        train_time = time.perf_counter() - start_train - ckpt_time
     if args.checkpoint_dir and args.epochs % args.checkpoint_every != 0:
         # Final state is always resumable, not just multiple-of-N epochs.
         ckpt.save_state(
