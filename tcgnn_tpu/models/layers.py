@@ -134,12 +134,19 @@ def agnn_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
     """
     x_prime = jnp.dot(x, params["weights"], preferred_element_type=jnp.float32)
     fused = getattr(graph, "agnn_aggregate", None)
-    if fused is not None:
+    n_heads = params["attention_w"].shape[1]
+    if fused is not None and n_heads == 1:
+        # Single-head: the scores->attention->weighted-aggregate pipeline
+        # collapses into the fused tile-space kernel (see docstring).
         return fused(x_prime, params["attention_w"])
+    # Multi-head (or no fused path): the reference schedule —
+    # per-edge scores once, then one genuinely separate weighted
+    # aggregation per head, head-averaged (gnn_conv.py:115-158; the
+    # reference's per-head kernel TCGNN_kernel.cu:243-268 races on its
+    # shared accumulator — here each head is an independent exact pass).
     edge_feature = graph.sddmm(x_prime)  # [n_e]
     # [n_e, 1] @ [1, n_heads] -> [n_e, n_heads]  (gnn_conv.py:128)
     edge_attentions = edge_feature[:, None] * params["attention_w"]
-    n_heads = edge_attentions.shape[1]
     out = graph.spmm_weighted(x_prime, edge_attentions[:, 0])
     for h in range(1, n_heads):
         out = out + graph.spmm_weighted(x_prime, edge_attentions[:, h])

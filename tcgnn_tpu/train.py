@@ -50,6 +50,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--classes", type=int, default=22)
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--model", type=str, default="gcn", choices=["gcn", "gin", "agnn"])
+    p.add_argument(
+        "--n_heads", type=int, default=1,
+        help="AGNN attention heads: >1 runs one genuinely separate "
+        "weighted aggregation per head, head-averaged (gnn_conv.py:115-158)",
+    )
     p.add_argument("--single_kernel", action="store_true", help="profile a single SAG kernel")
     # TPU-native extensions.
     p.add_argument("--data_dir", type=str, default="tcgnn-ae-graphs/")
@@ -465,7 +470,8 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
     params = nets.init_net(
-        init_key, args.model, ds.num_features, args.hidden, ds.num_classes, args.num_layers
+        init_key, args.model, ds.num_features, args.hidden, ds.num_classes,
+        args.num_layers, n_heads=args.n_heads,
     )
     if args.load_params:
         from tcgnn_tpu.utils import checkpoint as ckpt

@@ -61,3 +61,45 @@ def test_public_exports():
     assert callable(ops.spmm_tc_dense) and callable(ops.sddmm_ref)
     assert "gcn" in models.MODEL_KINDS
     assert callable(par.make_mesh)
+
+
+def test_agnn_multihead_dense_oracle():
+    """--n_heads 4 layer vs a dense numpy oracle computing each head's
+    weighted aggregation independently and averaging (the reference's
+    intended per-head schedule, gnn_conv.py:115-158, minus its race)."""
+    n, d, heads = 90, 10, 4
+    src, dst = powerlaw_graph(n, 500, seed=5)
+    ptr, cols = coo_to_csr(src, dst, n)
+    g = TiledGraph(ptr, cols, n, CFG)
+    x = jax.random.normal(jax.random.PRNGKey(3), (n, d), jnp.float32)
+    p = L.init_agnn(jax.random.PRNGKey(4), d, 8, n_heads=heads)
+
+    out = np.asarray(L.agnn_conv(p, x, g))
+
+    # Dense oracle.
+    A = np.zeros((n, n), np.float64)
+    ptr_np = np.asarray(ptr)
+    cols_np = np.asarray(cols)
+    for r in range(n):
+        for e in range(ptr_np[r], ptr_np[r + 1]):
+            A[r, cols_np[e]] += 1.0
+    xp = np.asarray(x, np.float64) @ np.asarray(p["weights"], np.float64)
+    S = xp @ xp.T  # dense scores; edges pick S[r, c]
+    att_w = np.asarray(p["attention_w"], np.float64)[0]
+    acc = np.zeros_like(xp)
+    for h in range(heads):
+        acc += (A * S * att_w[h]) @ xp
+    oracle = acc / heads
+    np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-4)
+
+
+def test_train_cli_multihead():
+    """--n_heads 4 trains end to end and the loss decreases."""
+    from tcgnn_tpu import train as T
+
+    loss = T.main([
+        "--dataset", "rand_400_2000", "--dim", "12", "--hidden", "8",
+        "--classes", "3", "--epochs", "30", "--model", "agnn",
+        "--n_heads", "4", "--no_dropout",
+    ])
+    assert np.isfinite(loss)
