@@ -116,11 +116,28 @@ def main(argv=None):
         os.path.dirname(__file__), "..", "..", "tests", "fixtures",
         "golden_tiny.npz",
     )
-    p.add_argument("--npz", default=default_npz)
+    p.add_argument("--npz", default=None)
+    p.add_argument(
+        "--data_dir", default="tcgnn-ae-graphs/",
+        help="scanned for real labeled graphs (cora/citeseer/pubmed "
+        ".npz with x/y keys); the first hit is preferred over the "
+        "golden fixture automatically",
+    )
     p.add_argument("--models", nargs="*", default=["gcn", "agnn"])
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--hidden", type=int, default=16)
     args = p.parse_args(argv)
+
+    if args.npz is None:
+        # Prefer real drop-in graphs the moment they appear (README:
+        # "Real-data drop-in") — flagged by the loader's provenance line.
+        for name in ("cora", "citeseer", "pubmed"):
+            cand = os.path.join(args.data_dir, name + ".npz")
+            if os.path.exists(cand):
+                args.npz = cand
+                break
+        else:
+            args.npz = default_npz
 
     import jax
     import jax.numpy as jnp

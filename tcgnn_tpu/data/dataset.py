@@ -158,7 +158,60 @@ def load_npz(path: str, dim: int, num_classes: int, seed: int = 0, verbose: bool
     for mask in ("train_mask", "val_mask", "test_mask"):
         if mask in obj.files:
             setattr(ds, mask, np.asarray(obj[mask], bool))
+    validate(ds, source=path, real_features="x" in obj.files,
+             real_labels="y" in obj.files)
     return ds
+
+
+def validate(ds: "GraphDataset", source: str = "", real_features=False,
+             real_labels=False) -> dict:
+    """Integrity check + one-line provenance report for a loaded graph.
+
+    Raises on a malformed file (non-monotone row pointers, out-of-range
+    columns, feature/label length mismatch); prints a single ``# dataset``
+    line flagging that a REAL file is in use plus its shape facts, so
+    every AE table regenerated over a real drop-in is self-documenting.
+    """
+    ptr = np.asarray(ds.row_pointers)
+    cols = np.asarray(ds.column_index)
+    n, e = ds.num_nodes, ds.num_edges
+    if len(ptr) != n + 1 or int(ptr[0]) != 0 or int(ptr[-1]) != e:
+        raise ValueError(f"{source}: malformed row_pointers "
+                         f"(len {len(ptr)} vs N+1={n + 1}, nnz {ptr[-1]} vs {e})")
+    if np.any(np.diff(ptr) < 0):
+        raise ValueError(f"{source}: row_pointers not monotone")
+    if e and (int(cols.min()) < 0 or int(cols.max()) >= n):
+        raise ValueError(f"{source}: column index out of range "
+                         f"[{cols.min()}, {cols.max()}] vs N={n}")
+    if ds.x.shape[0] != n or len(ds.y) != n:
+        raise ValueError(f"{source}: feature/label row count mismatch")
+    # Symmetry probe on a bounded edge sample (full check is O(E log E)).
+    sym = True
+    if e:
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+        k = min(e, 10000)
+        idx = np.linspace(0, e - 1, k).astype(np.int64)
+        for r, c in zip(rows[idx], cols[idx]):
+            lo, hi = ptr[c], ptr[c + 1]
+            if not np.any(cols[lo:hi] == r):
+                sym = False
+                break
+    report = dict(
+        nodes=n, edges=e, features=int(ds.x.shape[1]),
+        classes=int(ds.num_classes), symmetric_sampled=sym,
+        real_features=bool(real_features), real_labels=bool(real_labels),
+    )
+    tag = "REAL" if source else "synthetic"
+    print(
+        f"# dataset {ds.name}: {tag}"
+        + (f" {source}" if source else "")
+        + f" | N={n} E={e} d={report['features']}"
+        + f" classes={report['classes']}"
+        + f" symmetric~{sym}"
+        + f" features={'real' if real_features else 'synthesized'}"
+        + f" labels={'real' if real_labels else 'synthesized'}"
+    )
+    return report
 
 
 def load_txt(path: str, dim: int, num_classes: int, seed: int = 0, verbose: bool = False) -> GraphDataset:
@@ -168,4 +221,6 @@ def load_txt(path: str, dim: int, num_classes: int, seed: int = 0, verbose: bool
     src, dst = arr[:, 0], arr[:, 1]
     num_nodes = int(max(src.max(), dst.max())) + 1
     name = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-    return _finalize(name, src, dst, num_nodes, dim, num_classes, seed, verbose=verbose)
+    ds = _finalize(name, src, dst, num_nodes, dim, num_classes, seed, verbose=verbose)
+    validate(ds, source=path)
+    return ds

@@ -788,6 +788,13 @@ class TiledGraph:
                 bd_tiles, res_meta, res_a = bd_pack_f[:3]
 
                 def core(l, r, v):
+                    # bd_sfused selects its panel-sharing DMA layout by
+                    # operand OBJECT IDENTITY (l is r / v is r): callers
+                    # here pass the same array object for shared operands
+                    # (agnn_aggregate passes x thrice), so keep any
+                    # transform on these paths identity-preserving — a
+                    # semantically equal copy silently triples the
+                    # feature-panel DMA (correctness unaffected).
                     out = bd_sfused(
                         l, r, v, bd_tiles, offsets=offs, cfg=cfg,
                         interpret=interpret,

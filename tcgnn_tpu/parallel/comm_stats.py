@@ -65,6 +65,13 @@ def collective_bytes_from_hlo(hlo_text: str) -> Dict[str, Dict[str, int]]:
     out: Dict[str, Dict[str, int]] = {
         v: {"count": 0, "bytes": 0} for v in _COLLECTIVES.values()
     }
+    # Instruction definitions are counted ONCE; a collective inside a
+    # while-loop body executes once per iteration, so per-step byte totals
+    # would under-count.  Detect that case and warn (today's distributed
+    # step emits no collectives under while ops; this trips loudly if a
+    # future schedule does).
+    computation = ""
+    in_loop_body = False
     # Defining lines look like "%name = <shape> <op>(operands...)".  The
     # shape may be a long tuple holding "/*index=N*/" comments (which
     # contain '='), so the op is located by searching for "<collective>("
@@ -75,7 +82,11 @@ def collective_bytes_from_hlo(hlo_text: str) -> Dict[str, Dict[str, int]]:
         r"\b(all-to-all|all-gather|all-reduce|reduce-scatter|"
         r"collective-permute)(-start|-done)?(\.\d+)?\("
     )
+    comp_re = re.compile(r"^\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\([^)]*\)\s*->.*\{")
     for line in hlo_text.splitlines():
+        cm = comp_re.match(line)
+        if cm:
+            computation = cm.group(1)
         eq = line.find("= ")
         if eq < 0:
             continue
@@ -94,8 +105,20 @@ def collective_bytes_from_hlo(hlo_text: str) -> Dict[str, Dict[str, int]]:
             if len(shapes) >= 2:
                 dt, dims = shapes[1]
                 shape_text = f"{dt}[{dims}]"
+        if "body" in computation or "while" in computation:
+            in_loop_body = True
         out[kind]["count"] += 1
         out[kind]["bytes"] += _shape_bytes(shape_text)
+    if in_loop_body:
+        import warnings
+
+        warnings.warn(
+            "collective emitted inside a while-loop body: per-step byte "
+            "totals count instruction DEFINITIONS, so loop-carried "
+            "collectives are under-counted (multiply by trip count)",
+            stacklevel=2,
+        )
+        out["in_loop_body"] = True  # type: ignore[assignment]
     return out
 
 

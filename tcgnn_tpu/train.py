@@ -119,7 +119,14 @@ def build_argparser() -> argparse.ArgumentParser:
 def load_dataset(args) -> data_lib.GraphDataset:
     npz = os.path.join(args.data_dir, args.dataset + ".npz")
     if os.path.exists(npz):
+        # The loader validates the file and prints a '# dataset ... REAL'
+        # provenance line, so every table regenerated over a real drop-in
+        # self-documents its data source.
         return data_lib.load_npz(npz, args.dim, args.classes, seed=args.seed)
+    txt = os.path.join(args.data_dir, args.dataset + ".txt")
+    if os.path.exists(txt):
+        return data_lib.load_txt(txt, args.dim, args.classes, seed=args.seed)
+    print(f"# dataset {args.dataset}: synthetic (no file in {args.data_dir})")
     return synthetic.synthesize(args.dataset, args.dim, args.classes, seed=args.seed)
 
 

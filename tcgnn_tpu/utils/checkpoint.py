@@ -112,6 +112,15 @@ def restore_state(ckpt_dir: str, params_like: Any, opt_state_like: Any):
             raise ValueError(
                 f"checkpoint shape mismatch: {got.shape} vs {np.shape(want)}"
             )
+        # Dtype must match too: resuming a run launched with a different
+        # --dtype (same-shaped leaves) would otherwise silently continue
+        # at the checkpoint's dtype.
+        want_dt = np.asarray(want).dtype
+        if want_dt != got.dtype:
+            raise ValueError(
+                f"checkpoint dtype mismatch: {got.dtype} vs {want_dt} "
+                "(was this run launched with a different --dtype?)"
+            )
     state = jax.tree.unflatten(treedef, loaded)
     return state["p"], state["o"], epoch, key
 

@@ -167,3 +167,44 @@ def test_hlo_parser_async_start_counts_result_only():
 """
     s = collective_bytes_from_hlo(hlo)
     assert s["all_gather"] == {"count": 1, "bytes": 32 * 256 * 4}
+
+
+def test_collective_bytes_raw_hlo_fixture():
+    """Pin the HLO text-format parsing against a handwritten fixture so an
+    XLA dump-format drift fails loudly (round-3 advisor finding)."""
+    import warnings
+
+    from tcgnn_tpu.parallel.comm_stats import collective_bytes_from_hlo
+
+    hlo = """\
+HloModule jit_step
+
+%fused_computation (p0: f32[8,16]) -> f32[8,16] {
+  ROOT %r = f32[8,16] add(%p0, %p0)
+}
+
+ENTRY %main (a: f32[4,32]) -> f32[4,32] {
+  %a2a = (f32[1,2,32]{2,1,0}, f32[1,2,32]{2,1,0}) all-to-all(%s0, %s1), replica_groups={}
+  %ags = (f32[2,32]{1,0}, f32[8,32]{1,0}) all-gather-start(%a), dimensions={0}
+  %agd = f32[8,32]{1,0} all-gather-done(%ags)
+  %ar = f32[4,32]{1,0} all-reduce(%agd2), to_apply=%sum
+  ROOT %out = f32[4,32]{1,0} copy(%ar)
+}
+"""
+    s = collective_bytes_from_hlo(hlo)
+    assert s["all_to_all"] == {"count": 1, "bytes": 2 * 2 * 32 * 4}
+    # async all-gather: only the RESULT element (f32[8,32]) is counted
+    assert s["all_gather"] == {"count": 1, "bytes": 8 * 32 * 4}
+    assert s["all_reduce"] == {"count": 1, "bytes": 4 * 32 * 4}
+    assert "in_loop_body" not in s
+
+    hlo_loop = hlo.replace(
+        "%fused_computation (p0: f32[8,16]) -> f32[8,16] {",
+        "%body.1 (p0: f32[8,16]) -> f32[8,16] {\n"
+        "  %lar = f32[8,16]{1,0} all-reduce(%p0), to_apply=%sum",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s2 = collective_bytes_from_hlo(hlo_loop)
+    assert s2.get("in_loop_body") is True
+    assert any("while-loop body" in str(x.message) for x in w)

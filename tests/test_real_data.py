@@ -97,3 +97,51 @@ def test_accuracy_parity_harness_on_golden_fixture():
 
     failures = accuracy_parity.main(["--epochs", "60", "--models", "gcn"])
     assert failures == 0
+
+
+def test_ae_driver_prefers_real_npz(tmp_path, monkeypatch, capsys):
+    """A real-contract .npz dropped into --data_dir flows through the FULL
+    AE driver path (bench.sweep -> train.main) and is flagged as REAL by
+    the loader's provenance line (round-3 VERDICT #6: drop-in must be
+    turnkey and self-verifying)."""
+    import numpy as np
+
+    from tcgnn_tpu.bench import sweep
+
+    rng = np.random.default_rng(0)
+    n, e = 300, 1500
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    np.savez(
+        tmp_path / "citeseer.npz",
+        src_li=np.concatenate([src, dst]),
+        dst_li=np.concatenate([dst, src]),
+        num_nodes=np.int64(n),
+    )
+    monkeypatch.chdir(tmp_path)
+    sweep.main([
+        "--model", "gcn", "--datasets", "citeseer", "--epochs", "3",
+        "--data_dir", str(tmp_path), "--skip_baseline",
+    ])
+    out = capsys.readouterr().out
+    assert "REAL" in out and "citeseer.npz" in out, out
+    assert (tmp_path / "1_bench_gcn.csv").exists()
+    rows = (tmp_path / "1_bench_gcn.csv").read_text().strip().splitlines()
+    assert rows[0] == "dataset,Avg.Epoch (ms)" and rows[1].startswith("citeseer,")
+
+
+def test_loader_validation_rejects_malformed(tmp_path):
+    """Loader validation: out-of-range columns raise instead of silently
+    training on a corrupt file."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tcgnn_tpu.data import dataset as data_lib
+
+    np.savez(
+        tmp_path / "bad.npz",
+        src_li=np.asarray([0, 1]), dst_li=np.asarray([1, 99]),
+        num_nodes=np.int64(3),
+    )
+    with _pytest.raises(Exception):
+        data_lib.load_npz(str(tmp_path / "bad.npz"), dim=8, num_classes=2)
