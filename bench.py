@@ -92,15 +92,18 @@ def main():
             graph, kind, x, y, optimizer, dropout_rate=0.5, hoist=hoist
         )
         key = jax.random.PRNGKey(1)
-        loss = None
-        for _ in range(10):  # warm-up (compile + cache), main_tcgnn.py:166
-            params, opt_state, key, loss = step(params, opt_state, key)
+        # Device-side epoch chunks (train.make_train_step's `many`): the
+        # whole rep is ONE execution, so per-dispatch runtime overhead
+        # (8+ ms/epoch through the tunnel) stays out of the datum — same
+        # loop shape the trainer CLI runs.
+        params, opt_state, key, loss = step.many(params, opt_state, key, 10)
         float(loss)  # scalar fetch = true sync (block_until_ready lies here)
         best, final_loss = float("inf"), None
         for _ in range(n_reps):
             t0 = time.perf_counter()
-            for _ in range(n_epochs):
-                params, opt_state, key, loss = step(params, opt_state, key)
+            params, opt_state, key, loss = step.many(
+                params, opt_state, key, n_epochs
+            )
             final_loss = float(loss)  # forces the epoch chain before the clock stops
             best = min(best, (time.perf_counter() - t0) * 1e3 / n_epochs)
         return best, final_loss
