@@ -129,9 +129,10 @@ def main(argv=None):
                 + pass_bytes(dg.host_bwd, hidden)
             )
             # Ideal boundary volume of the same three passes (no capacity
-            # padding): what a perfectly packed exchange would move.  The
+            # padding), PER DEVICE like the model and the HLO measurement:
+            # what a perfectly packed exchange would move.  The
             # modeled/ideal ratio is the halo padding overhead.
-            ideal_bytes = halo_rows * (x.shape[1] + 2 * hidden) * 4
+            ideal_bytes = halo_rows * (x.shape[1] + 2 * hidden) * 4 // g
             pc = None
             if dg.host_fwd is not None and dg.host_fwd.halo is not None:
                 pc = dg.host_fwd.halo.get("pair_counts")
