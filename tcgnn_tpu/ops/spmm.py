@@ -995,7 +995,7 @@ def _bd_sfused_kernel(
             ).astype(compute_dtype)
         o_ref[g * bn : (g + 1) * bn] = jnp.dot(
             w, vs, preferred_element_type=jnp.float32, precision=prec
-        )
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -1049,13 +1049,18 @@ def _bd_sfused_padded(
         grid=(bp // g,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((p, d_pad), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp * bn, d_pad), jnp.float32),
+        # Compute-dtype store (f32 MXU accumulate; only the store rounds):
+        # each grid step owns its output block, so no cross-step
+        # accumulation dtype is involved.  Under bf16 this halves the
+        # biggest write stream of the AGNN epoch (YeastH: 1.6 GB f32 out
+        # per fused pass).
+        out_shape=jax.ShapeDtypeStruct((bp * bn, d_pad), ct),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bp * bn * k * bn * d_pad,
             bytes_accessed=tiles.size * tiles.dtype.itemsize
             + 5 * bp * bn * d_pad * xp_r.dtype.itemsize
-            + bp * bn * d_pad * 4,
+            + bp * bn * d_pad * jnp.dtype(ct).itemsize,
             transcendentals=0,
         ),
     )(*operands)
@@ -1142,15 +1147,18 @@ def _bd_sfused_bwd_kernel(
         )
         c = c_ref[g].astype(ct)
         cs = c * s.astype(ct)
-        dx_ref[g * bn : (g + 1) * bn] = jnp.dot(
-            cs, dys, preferred_element_type=jnp.float32, precision=prec
-        ) + jnp.dot(
-            c * (t + w2).astype(ct), xs,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        dx_ref[g * bn : (g + 1) * bn] = (
+            jnp.dot(
+                cs, dys, preferred_element_type=jnp.float32, precision=prec
+            )
+            + jnp.dot(
+                c * (t + w2).astype(ct), xs,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        ).astype(dx_ref.dtype)
         u_ref[g * bn : (g + 1) * bn] = jnp.dot(
             cs, xs, preferred_element_type=jnp.float32, precision=prec
-        )
+        ).astype(u_ref.dtype)
 
 
 @functools.partial(
@@ -1181,7 +1189,10 @@ def _bd_sfused_bwd_padded(x, dy, tiles, *, offsets, cfg, interpret):
         _bd_sfused_bwd_kernel, bn=bn, group=g, offsets=offsets,
         compute_dtype=ct,
     )
-    out_sds = jax.ShapeDtypeStruct((bp * bn, d_pad), jnp.float32)
+    # Compute-dtype stores; see _bd_sfused_padded.  dx/u are consumed by
+    # f32-promoting math (cbar scaling, an f32 vdot), so only the HBM
+    # stream narrows.
+    out_sds = jax.ShapeDtypeStruct((bp * bn, d_pad), ct)
     return pl.pallas_call(
         kernel,
         grid=(bp // g,),
@@ -1200,7 +1211,7 @@ def _bd_sfused_bwd_padded(x, dy, tiles, *, offsets, cfg, interpret):
             flops=12 * bp * bn * k * bn * d_pad,
             bytes_accessed=tiles.size * tiles.dtype.itemsize
             + 6 * bp * bn * d_pad * xp.dtype.itemsize
-            + 2 * bp * bn * d_pad * 4,
+            + 2 * bp * bn * d_pad * jnp.dtype(ct).itemsize,
             transcendentals=0,
         ),
     )(tiles, xp, xp, xp, yp, yp, yp)
