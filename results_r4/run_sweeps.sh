@@ -12,10 +12,6 @@ set -u
 cd /root/repo
 R=results_r4
 
-timeout 7000 python -m tcgnn_tpu.bench.sweep --model agnn --epochs 30 \
-    --reorder rcm > $R/sweep_agnn.log 2>&1
-cp 1_bench_agnn.csv Fig_6a_xla_agnn.csv $R/
-
 timeout 6000 python -m tcgnn_tpu.bench.sweep --model gcn --epochs 50 \
     --reorder rcm > $R/sweep_gcn.log 2>&1
 cp 1_bench_gcn.csv Fig_6a_xla_gcn.csv $R/
@@ -27,4 +23,8 @@ cp 1_bench_gin.csv Fig_6a_xla_gin.csv $R/
 timeout 4000 python -m tcgnn_tpu.bench.sweep --single_kernel --reorder rcm \
     > $R/sweep_single_kernel.log 2>&1
 cp 2_tcgnn_single_kernel.csv $R/
+timeout 7000 python -m tcgnn_tpu.bench.sweep --model agnn --epochs 30 \
+    --reorder rcm > $R/sweep_agnn.log 2>&1
+cp 1_bench_agnn.csv Fig_6a_xla_agnn.csv $R/
+
 touch $R/sweeps_done

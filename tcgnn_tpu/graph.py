@@ -293,7 +293,10 @@ class TiledGraph:
                     bdm.coverage == 1.0 and bdm_t.coverage == 1.0
                 )
 
-                def bd_dev(m):
+                def bd_dev(m, chunked=True):
+                    # chunked=False skips the SDDMM chunk metadata (per-edge
+                    # pos_pad upload) — the transpose pack never serves
+                    # sddmm_f, so asymmetric graphs shouldn't pay it twice.
                     if m.res_ptr is not None:
                         res_host = sparse_graph_translate(
                             m.res_ptr, m.res_idx, self.num_nodes, config,
@@ -347,6 +350,9 @@ class TiledGraph:
                     if pack_elems + 1 < 2**31:
                         cov_np = np.asarray(m.packed_cov_idx(), np.int32)
                         cov_pack = jnp.asarray(cov_np)
+                    else:
+                        cov_np = cov_pack = None
+                    if cov_np is not None and chunked:
                         # Per-edge packed positions in CSR edge order for
                         # the chunked BD SDDMM (ops/spmm.bd_sddmm_edges).
                         # Packed positions are non-decreasing along CSR
@@ -389,7 +395,7 @@ class TiledGraph:
                         e_start = jnp.asarray(e_start_np)
                         chunk_static = (chunk_bins, n_chunks, cap)
                     else:
-                        cov_pack = pos_pad = e_start = None
+                        pos_pad = e_start = None
                         chunk_static = None
                     cov_ids = jnp.asarray(np.asarray(m.cov_edge_ids, np.int32))
                     res_ids = (
@@ -418,7 +424,9 @@ class TiledGraph:
 
                 bd_pack_f, self._bd_sddmm_chunks = bd_dev(bdm)
                 bd_pack_t = (
-                    bd_pack_f if symmetric else bd_dev(bdm_t)[0]
+                    bd_pack_f
+                    if symmetric
+                    else bd_dev(bdm_t, chunked=False)[0]
                 )
                 self._bd_addressable = (
                     bd_pack_f[3] is not None and bd_pack_t[3] is not None
