@@ -41,10 +41,14 @@ class TileConfig:
     compute_dtype: jnp.dtype = jnp.float32
     # TC blocks per dense-kernel grid step.  >1 makes each grid step DMA
     # `block_group` consecutive tiles in one transfer, but SGT must pad every
-    # window's block count to a multiple of it — and the padding inflates the
-    # condensed-gather row count, which measures as the dominant cost on
-    # power-law graphs.  1 (no padding) benchmarks best; keep the knob for
-    # denser graphs.
+    # window's block count to a multiple of it — the padding inflates the
+    # condensed-gather row count, so sparse-window graphs want 1 while
+    # block-dense windows measure ~15-35% faster at 2 (ppi 0.82->0.70 ms,
+    # amazon0601 6.13->5.19 ms per SpMM; round-4 re-measurement — the
+    # round-1 "grouping never helps" verdict predates the scratch-
+    # accumulating compute-dtype kernel).  0 = AUTO: TiledGraph resolves it
+    # per graph from the real block/window density (>=8 blocks per window
+    # -> 2, else 1) with one extra native count pass.
     block_group: int = 1
 
     @property

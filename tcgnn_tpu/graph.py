@@ -70,6 +70,22 @@ DENSE_TILE_BUDGET_BYTES = 8 << 30
 HOST_TILE_BUILD_LIMIT = 64 << 20
 
 
+def _auto_block_group(row_pointers, column_index, config) -> int:
+    """Resolve ``block_group=0``: 2 for block-dense windows, else 1."""
+    from tcgnn_tpu.sgt import native
+
+    n_rows = len(row_pointers) - 1
+    if n_rows <= 0 or len(column_index) == 0 or not native.available():
+        return 1
+    per_win = native.count_blocks(
+        np.ascontiguousarray(row_pointers, np.int64),
+        np.ascontiguousarray(column_index, np.int32),
+        config.blk_h, config.blk_w,
+    )
+    avg = float(np.maximum(per_win, 1).mean())
+    return 2 if avg >= 8.0 else 1
+
+
 class TiledGraph:
     """Device-resident SGT-tiled graph.
 
@@ -96,6 +112,17 @@ class TiledGraph:
             num_nodes = len(row_pointers) - 1
         self.num_nodes = int(num_nodes)
         self.num_edges = int(len(column_index))
+        if config.block_group == 0:
+            # AUTO group: one cheap native count pass decides whether the
+            # dense kernel groups 2 consecutive blocks per grid step
+            # (block-dense windows: >=8 blocks/window measures 15-35%
+            # faster grouped) or stays at 1 (sparse windows, where group
+            # padding inflates the condensed gather).
+            config = dataclasses.replace(
+                config, block_group=_auto_block_group(
+                    row_pointers, column_index, config
+                )
+            )
         self.config = config
         self.symmetric = symmetric
         self.interpret = interpret
@@ -673,21 +700,16 @@ class TiledGraph:
             def sddmm_f(xa, xb):
                 return sddmm_tc(xa, meta, xb, interpret=interpret)
 
-        # Public op boundary is f32: the kernels STORE their outputs in the
-        # compute dtype (half-width HBM writes under bf16 — measured
-        # +0.7 ms per DD pass for an f32 store), and this cast fuses into
-        # each consumer's first elementwise op, so no extra HBM pass is
-        # paid.  Keeping the boundary f32 also keeps custom_vjp cotangent
-        # dtypes consistent regardless of schedule (hoisted l1 aggregates
-        # are f32 dots).
-        def _f32(fn):
-            def g(*a):
-                return fn(*a).astype(jnp.float32)
-            return g
-
-        spmm_f, spmm_b = _f32(spmm_f), _f32(spmm_b)
-        spmm_w_f, spmm_w_b = _f32(spmm_w_f), _f32(spmm_w_b)
-        sddmm_f = _f32(sddmm_f)
+        # Mixed-precision boundary: ops return what the kernels STORE (the
+        # compute dtype — half-width HBM writes under bf16, measured
+        # +0.7 ms per DD pass for an f32 store; f32 configs are unchanged).
+        # An earlier blanket .astype(f32) at this boundary materialized a
+        # full convert pass before every consumer matmul (XLA cannot fuse a
+        # convert into a dot operand), measurably REGRESSING the condensed
+        # graphs — instead the models run their dense math in the compute
+        # dtype too (models/layers._amp_dot) and only the loss is pinned
+        # f32.  custom_vjp cotangents are cast to each primal's dtype so
+        # callers may feed f32 or bf16 operands freely.
 
         # ---- unweighted SpMM (TCGNN.forward / backward) -------------------
         @jax.custom_vjp
@@ -695,10 +717,11 @@ class TiledGraph:
             return spmm_f(x)
 
         def spmm_fwd(x):
-            return spmm(x), None
+            # zero-size residual carries the primal dtype for the bwd cast
+            return spmm(x), jnp.zeros((0,), x.dtype)
 
-        def spmm_bwd(_, dy):
-            return (spmm_b(dy),)
+        def spmm_bwd(res, dy):
+            return (spmm_b(dy).astype(res.dtype),)
 
         spmm.defvjp(spmm_fwd, spmm_bwd)
 
@@ -713,9 +736,9 @@ class TiledGraph:
         def spmm_weighted_bwd(res, dy):
             x, w = res
             # dx[j] = sum_{e=(i->j)} w_e dy[i]  ==  (A w)^T @ dy
-            dx = spmm_w_b(dy, w)
+            dx = spmm_w_b(dy, w).astype(x.dtype)
             # dw_e = <dy[row_e], x[col_e]>  ==  SDDMM(dy, x)
-            dw = sddmm_f(dy, x)
+            dw = sddmm_f(dy, x).astype(w.dtype)
             return dx, dw
 
         spmm_weighted.defvjp(spmm_weighted_fwd, spmm_weighted_bwd)
@@ -734,7 +757,7 @@ class TiledGraph:
             #   dx via cols:  dx[j] += sum_{e col=j} de_e * x[row_e]
             d_rows = spmm_w_f(x, de)
             d_cols = spmm_w_b(x, de)
-            return (d_rows + d_cols,)
+            return ((d_rows + d_cols).astype(x.dtype),)
 
         sddmm.defvjp(sddmm_fwd, sddmm_bwd)
 
@@ -757,7 +780,10 @@ class TiledGraph:
         def _make_sfused_agnn(core, core_bwd):
             @jax.custom_vjp
             def agnn_aggregate(x, att_w):
-                return jnp.mean(att_w) * core(x, x, x)
+                out = core(x, x, x)
+                # Gate applied in the aggregate's own dtype: a f32 scalar
+                # would promote (and materialize) the whole array to f32.
+                return out * jnp.mean(att_w).astype(out.dtype)
 
             def agnn_fwd(x, att_w):
                 return agnn_aggregate(x, att_w), (x, att_w)
@@ -770,8 +796,10 @@ class TiledGraph:
                 # score with the operands swapped.  One fused kernel pass
                 # returns the sum plus u = (A⊙S) x for d attention.
                 dx3, u = core_bwd(x, dy)
-                dx = cbar * dx3
-                d_cbar = jnp.vdot(dy.astype(jnp.float32), u)
+                dx = (cbar.astype(dx3.dtype) * dx3).astype(x.dtype)
+                d_cbar = jnp.vdot(
+                    dy.astype(jnp.float32), u.astype(jnp.float32)
+                )
                 datt = jnp.full(att_w.shape, d_cbar / att_w.size, att_w.dtype)
                 return dx, datt
 

@@ -66,6 +66,23 @@ def init_agnn(key, in_dim: int, out_dim: int, n_heads: int = 1) -> Params:
 # --------------------------------------------------------------------------
 # Layers
 # --------------------------------------------------------------------------
+def _ct(graph):
+    """The graph's compute dtype (f32 configs keep everything f32)."""
+    cfg = getattr(graph, "config", None)
+    return cfg.compute_dtype if cfg is not None else jnp.float32
+
+
+def _amp_dot(a, w, ct):
+    """Dense update matmul in the compute dtype: f32 MXU accumulate,
+    compute-dtype output.  Mixed-precision training keeps activations in
+    ``ct`` end to end — a blanket f32 op boundary materialized a convert
+    pass before every dense matmul (XLA cannot fuse a convert into a dot
+    operand), measurably regressing condensed-path epochs."""
+    return jnp.dot(
+        a.astype(ct), w.astype(ct), preferred_element_type=jnp.float32
+    ).astype(ct)
+
+
 def gcn_conv(
     params: Params,
     x: jnp.ndarray,
@@ -102,24 +119,28 @@ def gcn_conv(
             aggregate_first = in_dim <= out_dim
     else:
         aggregate_first = in_dim <= max(out_dim, 128)
+    ct = _ct(graph)
+    x = x.astype(ct)
+    nv = None if norm is None else norm.astype(ct)
     if aggregate_first:
-        h = x if norm is None else x * norm[: x.shape[0], None]
+        h = x if nv is None else x * nv[: x.shape[0], None]
         agg = graph.spmm(h)
-        if norm is not None:
-            agg = agg * norm[: agg.shape[0], None]
-        return jnp.dot(agg, params["weights"], preferred_element_type=jnp.float32)
-    x_prime = jnp.dot(x, params["weights"], preferred_element_type=jnp.float32)
-    if norm is not None:
-        x_prime = x_prime * norm[: x_prime.shape[0], None]
+        if nv is not None:
+            agg = agg * nv[: agg.shape[0], None].astype(agg.dtype)
+        return _amp_dot(agg, params["weights"], ct)
+    x_prime = _amp_dot(x, params["weights"], ct)
+    if nv is not None:
+        x_prime = x_prime * nv[: x_prime.shape[0], None]
     out = graph.spmm(x_prime)
-    if norm is not None:
-        out = out * norm[: out.shape[0], None]
+    if nv is not None:
+        out = out * nv[: out.shape[0], None].astype(out.dtype)
     return out
 
 
 def gin_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
     """SpMM aggregation first, then GEMM update (gnn_conv.py:92-97)."""
-    return jnp.dot(graph.spmm(x), params["weights"], preferred_element_type=jnp.float32)
+    ct = _ct(graph)
+    return _amp_dot(graph.spmm(x.astype(ct)), params["weights"], ct)
 
 
 def agnn_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
@@ -132,7 +153,7 @@ def agnn_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
     head-averaged output is ``mean(c) * (A ⊙ S) X`` — mathematically
     identical, with no per-edge scatter/gather round trip.
     """
-    x_prime = jnp.dot(x, params["weights"], preferred_element_type=jnp.float32)
+    x_prime = _amp_dot(x, params["weights"], _ct(graph))
     fused = getattr(graph, "agnn_aggregate", None)
     n_heads = params["attention_w"].shape[1]
     if fused is not None and n_heads == 1:

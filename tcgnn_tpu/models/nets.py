@@ -60,11 +60,13 @@ def hoist_l1_aggregate(kind: str, x, graph, norm=None):
     """
     if kind not in ("gcn", "gin"):
         return None
+    ct = L._ct(graph)
+    x = x.astype(ct)
     use_norm = kind == "gcn" and norm is not None  # norm is a GCN notion
-    h = x * norm[: x.shape[0], None] if use_norm else x
+    h = x * norm[: x.shape[0], None].astype(ct) if use_norm else x
     agg = graph.spmm(h)
     if use_norm:
-        agg = agg * norm[: agg.shape[0], None]
+        agg = agg * norm[: agg.shape[0], None].astype(agg.dtype)
     return agg
 
 
@@ -99,10 +101,7 @@ def apply_net(
 
     if l1_agg is not None and kind in ("gcn", "gin"):
         h = jax.nn.relu(
-            jnp.dot(
-                l1_agg, params[0]["weights"],
-                preferred_element_type=jnp.float32,
-            )
+            L._amp_dot(l1_agg, params[0]["weights"], L._ct(graph))
         )
     else:
         h = jax.nn.relu(conv(params[0], x, graph))

@@ -61,6 +61,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--blk_h", type=int, default=512)
     p.add_argument("--blk_w", type=int, default=128)
     p.add_argument("--edge_chunk", type=int, default=128)
+    p.add_argument(
+        "--block_group", type=int, default=0,
+        help="TC blocks per dense-kernel grid step; 0 = auto per graph "
+        "(2 on block-dense windows, else 1)",
+    )
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=0)
@@ -136,6 +141,7 @@ def make_config(args) -> TileConfig:
         blk_w=args.blk_w,
         edge_chunk=args.edge_chunk,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        block_group=args.block_group,
     )
 
 
@@ -446,6 +452,12 @@ def main(argv=None):
             from tcgnn_tpu.sgt.reorder import reorder_dataset
 
             reorder_dataset(ds, args.reorder)
+        if cfg.block_group == 0:
+            # Distributed stacked metadata + the mega-window split require
+            # group 1 (parallel/partition.py); AUTO resolves there.
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, block_group=1)
         return train_distributed(args, ds, cfg)
 
     if args.reorder != "none":
