@@ -12,18 +12,18 @@ set -u
 cd /root/repo
 R=results_r4
 
-timeout 6000 python -m tcgnn_tpu.bench.sweep --model gcn --epochs 50 \
+timeout 6000 python -m tcgnn_tpu.bench.sweep --model gcn --epochs 200 \
     --reorder rcm > $R/sweep_gcn.log 2>&1
 cp 1_bench_gcn.csv Fig_6a_xla_gcn.csv $R/
 
-timeout 6000 python -m tcgnn_tpu.bench.sweep --model gin --epochs 50 \
+timeout 6000 python -m tcgnn_tpu.bench.sweep --model gin --epochs 200 \
     --reorder rcm > $R/sweep_gin.log 2>&1
 cp 1_bench_gin.csv Fig_6a_xla_gin.csv $R/
 
 timeout 4000 python -m tcgnn_tpu.bench.sweep --single_kernel --reorder rcm \
     > $R/sweep_single_kernel.log 2>&1
 cp 2_tcgnn_single_kernel.csv $R/
-timeout 7000 python -m tcgnn_tpu.bench.sweep --model agnn --epochs 30 \
+timeout 7000 python -m tcgnn_tpu.bench.sweep --model agnn --epochs 100 --baseline_epochs 30 \
     --reorder rcm > $R/sweep_agnn.log 2>&1
 cp 1_bench_agnn.csv Fig_6a_xla_agnn.csv $R/
 

@@ -56,7 +56,14 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="gcn", choices=["gcn", "gin", "agnn"])
     p.add_argument("--datasets", nargs="*", default=None)
-    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument(
+        "--baseline_epochs", type=int, default=50,
+        help="epoch count for the XLA baseline runs: both sides report an "
+        "AVERAGE epoch, so the baseline needs fewer epochs to amortize its "
+        "launch overheads (200 would quadruple its multi-second OVCAR-class "
+        "runs for the same average)",
+    )
     p.add_argument("--data_dir", default="tcgnn-ae-graphs/")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--num_layers", type=int, default=None)
@@ -159,14 +166,16 @@ def main(argv=None):
             if hoistable
             else ours
         )
-        base = (
-            None
-            if args.skip_baseline
-            else run_one(
-                xla_baseline.main, name, dim, classes, args,
+        base = None
+        if not args.skip_baseline:
+            import copy
+
+            bargs = copy.copy(args)
+            bargs.epochs = args.baseline_epochs
+            base = run_one(
+                xla_baseline.main, name, dim, classes, bargs,
                 extra=("--impl", args.baseline_impl),
             )
-        )
         rows.append((name, base, ours, ours_hoisted))
         if ours is not None:
             f_bench.write(f"{name},{ours:.3f}\n")
