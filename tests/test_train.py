@@ -105,3 +105,63 @@ def test_trainer_cli_smoke(capsys):
     assert "Prep. (ms):" in out
     assert "TC_Blocks:" in out
     assert "Train (ms):" in out
+
+
+def test_step_many_matches_step_chain():
+    """The device-side epoch loop (`step.many`) must reproduce the
+    dispatch-per-epoch chain exactly: same PRNG split per epoch, same
+    params, same loss."""
+    import optax
+
+    from tcgnn_tpu.config import TileConfig
+    from tcgnn_tpu.data.synthetic import synthesize
+    from tcgnn_tpu.graph import TiledGraph
+    from tcgnn_tpu.models import nets
+
+    ds = synthesize("rand_500_2500", dim=12, num_classes=3, seed=0)
+    cfg = TileConfig(blk_h=32, blk_w=32, edge_chunk=32)
+    g = TiledGraph(ds.row_pointers, ds.column_index, ds.num_nodes, cfg)
+    x = jnp.asarray(ds.x)
+    y = jnp.asarray(ds.y.astype(np.int32))
+    opt = optax.adam(0.01)
+    step = make_train_step(g, "gcn", x, y, opt, dropout_rate=0.5)
+
+    def fresh():
+        p = nets.init_net(jax.random.PRNGKey(0), "gcn", 12, 8, 3, 2)
+        return p, opt.init(p), jax.random.PRNGKey(7)
+
+    p1, o1, k1 = fresh()
+    for _ in range(4):
+        p1, o1, k1, loss1 = step(p1, o1, k1)
+    p2, o2, k2 = fresh()
+    p2, o2, k2, loss2 = step.many(p2, o2, k2, 4)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_auto_block_group_resolution():
+    """block_group=0 resolves per graph: dense windows -> 2, sparse -> 1;
+    explicit values pass through untouched."""
+    from tcgnn_tpu.config import TileConfig
+    from tcgnn_tpu.data.synthetic import synthesize
+    from tcgnn_tpu.graph import TiledGraph
+
+    # dense windows: a small dense-ish random graph has many blocks/window
+    ds = synthesize("rand_2000_80000", dim=8, num_classes=2, seed=1)
+    g = TiledGraph(
+        ds.row_pointers, ds.column_index, ds.num_nodes,
+        TileConfig(blk_h=128, blk_w=128, edge_chunk=64, block_group=0),
+    )
+    assert g.config.block_group in (1, 2)
+    g2 = TiledGraph(
+        ds.row_pointers, ds.column_index, ds.num_nodes,
+        TileConfig(blk_h=128, blk_w=128, edge_chunk=64, block_group=1),
+    )
+    assert g2.config.block_group == 1
+    # grouped and ungrouped agree numerically
+    x = jnp.asarray(ds.x)
+    np.testing.assert_allclose(
+        np.asarray(g.spmm(x)), np.asarray(g2.spmm(x)), rtol=1e-4, atol=1e-4
+    )
