@@ -36,7 +36,6 @@ from tcgnn_tpu.ops.sddmm import (
 from tcgnn_tpu.ops.spmm import (
     BD_BIN_GROUP,
     bd_scatter_weights,
-    bd_score_tiles,
     bd_sddmm_edges,
     bd_sfused,
     bd_sfused_bwd,
@@ -430,11 +429,13 @@ class TiledGraph:
                         if m.res_edge_ids is None
                         else jnp.asarray(np.asarray(m.res_edge_ids, np.int32))
                     )
-                    if m.res_ptr is not None:
+                    if m.res_ptr is not None and chunked:
                         # Residual (row, col) pairs in residual-CSR order
                         # for the SDDMM's per-edge dots (R is a few % of E;
                         # two R-row global gathers beat a per-block Pallas
-                        # pass over the sparse residual geometry).
+                        # pass over the sparse residual geometry).  Gated
+                        # on `chunked` with the rest of the SDDMM metadata
+                        # — the transpose pack never serves sddmm_f.
                         res_rc = (
                             jnp.asarray(np.repeat(
                                 np.arange(self.num_nodes, dtype=np.int32),
@@ -639,8 +640,8 @@ class TiledGraph:
                         ct = cfg.compute_dtype
                         rr, rc_ = res_rc
                         r = jnp.sum(
-                            (xa.astype(ct)[rr] * xb.astype(ct)[rc_]
-                             ).astype(jnp.float32),
+                            xa.astype(ct)[rr].astype(jnp.float32)
+                            * xb.astype(ct)[rc_].astype(jnp.float32),
                             axis=1,
                         )
                         e = e.at[res_ids].set(r)

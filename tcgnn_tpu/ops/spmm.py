@@ -476,45 +476,6 @@ def _bd_stack(x, nbins, bn, offsets, ct):
     ).reshape(nbins, len(offsets) * bn, d)
 
 
-def _bd_bins(x, nbins, bn, ct):
-    """[nbins, bn, d] row bins of x (zero-padded past n)."""
-    n, d = x.shape
-    return jnp.pad(x.astype(ct), ((0, nbins * bn - n), (0, 0))).reshape(
-        nbins, bn, d
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("bp", "bn", "offsets", "cfg", "interpret", "out_dtype"),
-)
-def bd_score_tiles(xa, xb, *, bp, bn, offsets, cfg, interpret, out_dtype=None):
-    """Packed per-tile dot-product scores (the BD-space SDDMM front half).
-
-    ``S[b, i, k*bn + j] = <xa[b*bn + i], xb[(b+k)*bn + j]>`` — one batched
-    MXU matmul per bin row, same packed [Bp, bn, K*bn] layout as the
-    structural pack so a flat gather at ``cov_pack_idx`` yields per-edge
-    scores and an elementwise ``C * S`` yields the fused weighted tiles.
-    Scores are emitted f32 (the MXU accumulator) by default so the
-    per-edge SDDMM path keeps full precision like the condensed dense
-    SDDMM; the fused attention callers pass ``out_dtype=compute_dtype``
-    for the in-tile-space ``C * S`` product.
-    """
-    del interpret
-    ct = cfg.compute_dtype
-    xab = _bd_bins(xa, bp, bn, ct)
-    xs = _bd_stack(xb, bp, bn, offsets, ct)
-    s = jnp.einsum(
-        "bid,bkd->bik",
-        xab,
-        xs,
-        preferred_element_type=jnp.float32,
-        precision=_mxu_precision(ct),
-    )
-    return s if out_dtype is None else s.astype(out_dtype)
-
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -527,7 +488,8 @@ def bd_sddmm_edges(
 ):
     """Per-edge BD SDDMM: ``e[i] = <xa[row_i], xb[col_i]>`` in CSR order.
 
-    The packed-score formulation (``bd_score_tiles`` + flat gather) computes
+    A packed-score formulation (batched score-tile einsum + flat gather,
+    round 3's path) computes
     every cell of the [Bp, bn, K*bn] pack — ~100-200x more dot products
     than the E edges need on the biomolecule graphs — and then pays XLA's
     elementwise-gather floor (~0.14 G elem/s measured) to extract them.
@@ -579,7 +541,12 @@ def bd_sddmm_edges(
         j = p % kw                          # lane within the packed row
         ga = jnp.take(xa_c, r_loc, axis=0, mode="clip")
         gb = jnp.take(xs_c, (r_loc // bn) * kw + j, axis=0, mode="clip")
-        vals = jnp.sum((ga * gb).astype(jnp.float32), axis=1)
+        # f32 products + f32 accumulation (cast in registers, fused by
+        # XLA): matches the condensed SDDMM's precision contract — a bf16
+        # product would round each term to 8 mantissa bits first.
+        vals = jnp.sum(
+            ga.astype(jnp.float32) * gb.astype(jnp.float32), axis=1
+        )
         return jax.lax.dynamic_update_slice(out, vals, (es,))
 
     out = jax.lax.fori_loop(0, n_chunks, step, out)

@@ -118,7 +118,9 @@ def collective_bytes_from_hlo(hlo_text: str) -> Dict[str, Dict[str, int]]:
             "collectives are under-counted (multiply by trip count)",
             stacklevel=2,
         )
-        out["in_loop_body"] = True  # type: ignore[assignment]
+        # Uniform value type: flags ride in their own nested dict so
+        # consumers iterating the kind entries never hit a bare bool.
+        out["_flags"] = {"in_loop_body": 1}
     return out
 
 
@@ -162,6 +164,9 @@ def step_collective_bytes(fn, *args, **kwargs) -> Dict[str, Any]:
     compiled = jitted.lower(*args, **kwargs).compile()
     stats = collective_bytes_from_hlo(compiled.as_text())
     stats["total_bytes"] = int(
-        np.sum([v["bytes"] for k, v in stats.items() if isinstance(v, dict)])
+        np.sum([
+            v["bytes"] for k, v in stats.items()
+            if not k.startswith("_")
+        ])
     )
     return stats

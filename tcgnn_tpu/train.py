@@ -557,8 +557,11 @@ def main(argv=None):
             )
             epoch += chunk
             if args.checkpoint_dir and epoch % args.checkpoint_every == 0:
-                t0 = time.perf_counter()
+                # The scalar fetch (the chunk's real epoch compute) must
+                # close the TIMED interval — only the snapshot write after
+                # it is checkpoint overhead to exclude.
                 float(loss)  # sync before snapshotting device state
+                t0 = time.perf_counter()
                 ckpt.save_state(
                     args.checkpoint_dir, params, opt_state, epoch, key=key
                 )

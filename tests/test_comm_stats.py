@@ -196,7 +196,7 @@ ENTRY %main (a: f32[4,32]) -> f32[4,32] {
     # async all-gather: only the RESULT element (f32[8,32]) is counted
     assert s["all_gather"] == {"count": 1, "bytes": 8 * 32 * 4}
     assert s["all_reduce"] == {"count": 1, "bytes": 4 * 32 * 4}
-    assert "in_loop_body" not in s
+    assert "_flags" not in s
 
     hlo_loop = hlo.replace(
         "%fused_computation (p0: f32[8,16]) -> f32[8,16] {",
@@ -206,5 +206,5 @@ ENTRY %main (a: f32[4,32]) -> f32[4,32] {
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         s2 = collective_bytes_from_hlo(hlo_loop)
-    assert s2.get("in_loop_body") is True
+    assert s2.get("_flags", {}).get("in_loop_body") == 1
     assert any("while-loop body" in str(x.message) for x in w)
