@@ -273,12 +273,17 @@ def profile_sag(graph, x, num_rounds: int = 200):
     from tcgnn_tpu.utils import profiling
 
     garr = graph.arrays()
+    # Chain in the compute dtype: ops return compute-dtype outputs under
+    # bf16 configs (mixed precision), so an f32 carry would mismatch.
+    x = x.astype(graph.config.compute_dtype)
 
     @jax.jit
     def _spmm_chain(garr, x, n):
         g = graph.bind(garr)
-        out = jax.lax.fori_loop(0, n, lambda i, c: g.spmm(c), x)
-        return jnp.sum(out[:1, :1])
+        out = jax.lax.fori_loop(
+            0, n, lambda i, c: g.spmm(c).astype(c.dtype), x
+        )
+        return jnp.sum(out[:1, :1].astype(jnp.float32))
 
     n_lo = max(num_rounds // 10, 2)
     kernel_s = _timed_scan_rounds(
@@ -327,10 +332,10 @@ def profile_sag(graph, x, num_rounds: int = 200):
 
         def body(i, c):
             e = g.sddmm(c)
-            return c + 1e-30 * e[0]
+            return c + (1e-30 * e[0]).astype(c.dtype)
 
         out = jax.lax.fori_loop(0, n, body, x)
-        return jnp.sum(out[:1, :1])
+        return jnp.sum(out[:1, :1].astype(jnp.float32))
 
     sd_rounds = max(num_rounds // 2, 4)
     sddmm_s = _timed_scan_rounds(
