@@ -41,15 +41,18 @@ def run_one(module_main, name, dim, classes, args, extra=()):
     ]
     try:
         ms = module_main(argv)
-        gc.collect()
         return ms
     except Exception:
         traceback.print_exc()
-        # A failed run (e.g. device OOM) must not poison later datasets in
-        # this process: drop cached executables holding device buffers.
+        return None
+    finally:
+        # Drop cached executables (they pin device buffers) after EVERY
+        # run, not just failures: eight large graphs of retained
+        # executables measurably degrade the ninth (YeastH prep read 8x
+        # slower and its 100-epoch execution stalled in the round-4 agnn
+        # sweep until caches were cleared between datasets).
         jax.clear_caches()
         gc.collect()
-        return None
 
 
 def main(argv=None):
