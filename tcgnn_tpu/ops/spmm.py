@@ -313,6 +313,12 @@ def _spmm_dense_padded(
     # hidden=16 config).  MXU lanes idle, but the op is bandwidth-bound.
     if d >= d_tile:
         d_pad, d_blk = _round_up(d, d_tile), d_tile
+    elif group > 1 and d > 64:
+        # Grouped DMAs of a 64<d<128-lane block relayout pathologically
+        # (amazon0601 d=96: 14.6 ms vs 5.0 ms padded to 128, measured);
+        # full-lane padding is cheaper than the relayout.  Genuinely
+        # narrow dims (hidden=16) stay narrow — they group fine.
+        d_pad = d_blk = d_tile
     else:
         d_pad = d_blk = _round_up(max(d, 1), 8)
     n_dtiles = d_pad // d_blk
@@ -328,12 +334,15 @@ def _spmm_dense_padded(
     )
 
     # bf16 compute: cast *before* the gather so the random-access traffic is
-    # half-width too.
+    # half-width too.  Lane-pad BEFORE the gather as well: gathering
+    # unaligned 64<d<128-lane bf16 rows and padding after measured 3x
+    # slower than one cheap [N, d]->[N, d_pad] pad followed by an
+    # aligned-row gather (amazon0601 d=96 under group=2: 15.4 -> ~5 ms).
     if cfg.compute_dtype == jnp.bfloat16:
         x = x.astype(jnp.bfloat16)
-    xg = jnp.take(x, col_ids, axis=0, fill_value=0)  # [B*blk_w, d]
     if d_pad != d:
-        xg = jnp.pad(xg, ((0, 0), (0, d_pad - d)))
+        x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    xg = jnp.take(x, col_ids, axis=0, fill_value=0)  # [B*blk_w, d_pad]
 
     kernel = functools.partial(
         _spmm_grouped_kernel,
@@ -1251,6 +1260,12 @@ def _spmm_fused_padded(
     assert n_blocks % group == 0, (n_blocks, group)
     if d >= d_tile:
         d_pad, d_blk = _round_up(d, d_tile), d_tile
+    elif group > 1 and d > 64:
+        # Grouped DMAs of a 64<d<128-lane block relayout pathologically
+        # (amazon0601 d=96: 14.6 ms vs 5.0 ms padded to 128, measured);
+        # full-lane padding is cheaper than the relayout.  Genuinely
+        # narrow dims (hidden=16) stay narrow — they group fine.
+        d_pad = d_blk = d_tile
     else:
         d_pad = d_blk = _round_up(max(d, 1), 8)
     n_dtiles = d_pad // d_blk

@@ -276,6 +276,15 @@ def profile_sag(graph, x, num_rounds: int = 200):
     # Chain in the compute dtype: ops return compute-dtype outputs under
     # bf16 configs (mixed precision), so an f32 carry would mismatch.
     x = x.astype(graph.config.compute_dtype)
+    # Chain at the kernel's natural lane width for 64<d<128: feeding the
+    # round-to-round carry through a 96-lane bf16 layout costs a
+    # pathological 128->96->128 relayout pair per round (amazon0601:
+    # 14.6 ms vs 5.0 chained at 128 lanes) that no real consumer pays
+    # (epoch consumers are matmuls).  Throughput stats still use the
+    # true dim.
+    true_dim = x.shape[1]
+    if 64 < true_dim < 128:
+        x = jnp.pad(x, ((0, 0), (0, 128 - true_dim)))
 
     @jax.jit
     def _spmm_chain(garr, x, n):
@@ -309,7 +318,7 @@ def profile_sag(graph, x, num_rounds: int = 200):
         "=> SAG dispatch-chained avg (ms): {:.3f}".format(pipelined * 1e3)
     )
     stats = profiling.kernel_report(
-        graph.num_edges, graph.exp_edges, x.shape[1], kernel_s
+        graph.num_edges, graph.exp_edges, true_dim, kernel_s
     )
     stats["dispatch_chained_ms"] = pipelined * 1e3
     print(
