@@ -28,3 +28,14 @@ timeout 7000 python -m tcgnn_tpu.bench.sweep --model agnn --epochs 100 --baselin
 cp 1_bench_agnn.csv Fig_6a_xla_agnn.csv $R/
 
 touch $R/sweeps_done
+
+# NOTE (as-run): the agnn stage was executed in two invocations — the first
+# covered citeseer..DD and stalled on YeastH due to cross-dataset retained
+# executable caches (fixed in sweep.py the same round: clear_caches between
+# datasets); the remaining six datasets ran via
+#   python -m tcgnn_tpu.bench.sweep --model agnn --epochs 100 \
+#       --baseline_epochs 30 --reorder rcm \
+#       --datasets YeastH amazon0505 artist com-amazon soc-BlogCatalog amazon0601
+# (results_r4/sweep_agnn_tail.log) and the rows were merged by dataset name.
+# The single-kernel stage was re-run after fixing the profile chains for
+# mixed-precision carries (results_r4/sweep_single_kernel.log).
