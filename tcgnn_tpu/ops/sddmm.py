@@ -242,7 +242,17 @@ def sddmm_tc_streamed(
         smeta.seg_block, smeta.seg_window,
         cfg=smeta.config, wseg=smeta.wseg, interpret=interpret, d_tile=d_tile,
     )
-    return scores.reshape(-1)[smeta.edge_perm]
+    return _extract_rows(scores, smeta.edge_perm)
+
+
+def _extract_rows(scores2d, flat_idx):
+    """Per-edge extraction from a 2-D score array: lane-row gather + fused
+    one-hot select (XLA elementwise gather runs ~0.14 G elem/s; row
+    gathers ~3x faster — see sddmm_tc_dense)."""
+    w = scores2d.shape[-1]
+    r = scores2d.reshape(-1, w)[flat_idx // w]
+    onehot = (flat_idx % w)[:, None] == jnp.arange(w)[None, :]
+    return jnp.sum(jnp.where(onehot, r, 0.0), axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +393,18 @@ def sddmm_tc_dense(
         interpret=interpret,
         d_tile=d_tile,
     )
-    return tiles.reshape(-1)[meta.edge_pos]
+    # Per-edge extraction as a LANE-ROW gather + fused one-hot select:
+    # XLA's elementwise gather runs ~0.14 G elem/s while 128-lane row
+    # gathers run ~3x faster even from the full tile array (amazon0601:
+    # 55.7 -> 32.7 ms for the whole SDDMM, measured; the tile compute
+    # itself is 6.9 ms).  The select fuses into the gather consumer — no
+    # [E, 128] materialization.
+    flat = tiles.reshape(-1, meta.config.blk_w)
+    rows = meta.edge_pos // meta.config.blk_w
+    lane = meta.edge_pos % meta.config.blk_w
+    r = flat[rows]
+    onehot = lane[:, None] == jnp.arange(meta.config.blk_w)[None, :]
+    return jnp.sum(jnp.where(onehot, r, 0.0), axis=1)
 
 
 def sddmm_tc(
@@ -422,4 +443,4 @@ def sddmm_tc(
         interpret=interpret,
         d_tile=d_tile,
     )
-    return scores.reshape(-1)[meta.edge_perm]
+    return _extract_rows(scores, meta.edge_perm)
