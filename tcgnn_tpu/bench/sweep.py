@@ -151,9 +151,13 @@ def main(argv=None):
     f_fig = None
     if not args.skip_baseline:
         f_fig = open(fig_csv, "w")
+        # Epoch counts ride in the CSV so published speedup columns carry
+        # their timing regimes (per-epoch averages shift with run length —
+        # DD reads 11.5 ms over 50-100 epochs vs 12.6 sustained at 200).
         f_fig.write(
             "dataset,xla_baseline,tcgnn_tpu,speedup,"
-            "tcgnn_tpu_hoisted,speedup_hoisted\n"
+            "tcgnn_tpu_hoisted,speedup_hoisted,"
+            "tcgnn_epochs,baseline_epochs\n"
         )
     hoistable = args.model in ("gcn", "gin")
     for name, dim, classes in table:
@@ -189,7 +193,8 @@ def main(argv=None):
                 f"{base / ours_hoisted:.3f}" if ours_hoisted is not None else ""
             )
             f_fig.write(
-                f"{name},{base:.3f},{ours:.3f},{base / ours:.3f},{oh},{sph}\n"
+                f"{name},{base:.3f},{ours:.3f},{base / ours:.3f},{oh},{sph},"
+                f"{args.epochs},{args.baseline_epochs}\n"
             )
             f_fig.flush()
     f_bench.close()

@@ -156,11 +156,17 @@ def agnn_conv(params: Params, x: jnp.ndarray, graph: TiledGraph) -> jnp.ndarray:
     x_prime = _amp_dot(x, params["weights"], _ct(graph))
     fused = getattr(graph, "agnn_aggregate", None)
     n_heads = params["attention_w"].shape[1]
-    if fused is not None and n_heads == 1:
-        # Single-head: the scores->attention->weighted-aggregate pipeline
-        # collapses into the fused tile-space kernel (see docstring).
+    if fused is not None:
+        # ANY head count: every head's attention is a scalar gate on the
+        # same edge score (att_e^h = c_h * e_e), so the head-averaged sum
+        # of H weighted aggregations is  mean_h c_h * (A ⊙ S) X  — exactly
+        # what the fused kernel computes (graph.agnn_aggregate applies
+        # mean(att_w); its backward emits the matching per-head gradient
+        # d c_h = <dy, (A⊙S)x>/H).  The H aggregations share one score
+        # pass and one gathered operand by construction, so multi-head
+        # costs the same single fused fwd+bwd pass as one head.
         return fused(x_prime, params["attention_w"])
-    # Multi-head (or no fused path): the reference schedule —
+    # No fused path (asymmetric / chunked graphs): the reference schedule —
     # per-edge scores once, then one genuinely separate weighted
     # aggregation per head, head-averaged (gnn_conv.py:115-158; the
     # reference's per-head kernel TCGNN_kernel.cu:243-268 races on its

@@ -114,8 +114,10 @@ def restore_state(ckpt_dir: str, params_like: Any, opt_state_like: Any):
             )
         # Dtype must match too: resuming a run launched with a different
         # --dtype (same-shaped leaves) would otherwise silently continue
-        # at the checkpoint's dtype.
-        want_dt = np.asarray(want).dtype
+        # at the checkpoint's dtype.  Read the dtype ATTRIBUTE — an
+        # np.asarray on a device leaf forces a device->host fetch per
+        # parameter (~0.1 MB/s through the axon tunnel).
+        want_dt = getattr(want, "dtype", None) or np.asarray(want).dtype
         if want_dt != got.dtype:
             raise ValueError(
                 f"checkpoint dtype mismatch: {got.dtype} vs {want_dt} "
