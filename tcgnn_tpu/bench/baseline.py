@@ -178,7 +178,11 @@ def make_baseline_train_step(graph, kind, x, y, optimizer, dropout_rate):
 
     def loss_fn(params, key, x, y, g):
         logp = nets.apply_net(params, kind, x, g, dropout_key=key, dropout_rate=dropout_rate)
-        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        # Same one-hot NLL as the tcgnn trainer (train.make_train_step):
+        # the baseline must not pay the N-element gather/scatter penalty
+        # our side stopped paying, or the speedup column would inflate.
+        onehot = jnp.arange(logp.shape[1], dtype=y.dtype)[None, :] == y[:, None]
+        return -jnp.mean(jnp.sum(jnp.where(onehot, logp, 0.0), axis=1))
 
     @jax.jit
     def _step(params, opt_state, key, x, y, garr):

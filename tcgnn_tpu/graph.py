@@ -487,7 +487,8 @@ class TiledGraph:
         )
 
         ops = self._make_ops(*self._device_arrays)
-        self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
+        (self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate,
+         self.spmm_t) = ops
 
     # --- statistics (reference's preprocess printout, TCGNN.cpp:225) -------
     @property
@@ -867,7 +868,10 @@ class TiledGraph:
             # else: BD full coverage with an offset outside the halo bound —
             # AGNN falls back to the per-edge BD ops above (correct, slower).
 
-        return spmm, spmm_weighted, sddmm, agnn_aggregate
+        # Transpose aggregation (A^T dy) exposed as a standalone op so the
+        # measured per-stage epoch ledger (bench.epoch_ledger) can time the
+        # backward pass's aggregation in isolation.
+        return spmm, spmm_weighted, sddmm, agnn_aggregate, spmm_b
 
 
 class BoundGraph:
@@ -878,7 +882,8 @@ class BoundGraph:
     """
 
     def __init__(self, parent: TiledGraph, ops):
-        self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
+        (self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate,
+         self.spmm_t) = ops
         self.num_nodes = parent.num_nodes
         self.num_edges = parent.num_edges
         self.config = parent.config

@@ -311,9 +311,12 @@ def _spmm_dense_padded(
     # equals the array dim, so a 16-wide hidden layer moves 16 lanes of HBM
     # traffic, not a 128-lane padded stream (8x on the reference's GCN
     # hidden=16 config).  MXU lanes idle, but the op is bandwidth-bound.
+    import os
     if d >= d_tile:
         d_pad, d_blk = _round_up(d, d_tile), d_tile
-    elif group > 1 and d > 64:
+    elif group > 1 and (
+        d > 64 or os.environ.get("TCGNN_NARROW_PAD_128") == "1"
+    ):
         # Grouped DMAs of a 64<d<128-lane block relayout pathologically
         # (amazon0601 d=96: 14.6 ms vs 5.0 ms padded to 128, measured);
         # full-lane padding is cheaper than the relayout.  Genuinely

@@ -98,7 +98,12 @@ def make_distributed_train_step(
             norm=norm,
             l1_agg=l1_agg,
         )
-        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        # One-hot select, not take_along_axis: the N-element gather (and
+        # its scatter backward) lowers at the slow elementwise-gather rate
+        # on TPU; the iota-compare mask fuses into the log-softmax pass
+        # (see the single-device loss_fn).
+        onehot = jnp.arange(logp.shape[1], dtype=y.dtype)[None, :] == y[:, None]
+        nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=1)
         return jnp.sum(nll * mask) / denom
 
     # Donated like the single-device step: Adam state + params update in

@@ -171,7 +171,13 @@ def make_train_step(
             params, kind, x, g, dropout_key=key, dropout_rate=dropout_rate,
             norm=norm, l1_agg=l1_agg,
         )
-        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        # NLL via a one-hot select, NOT take_along_axis: an N-element
+        # axis-1 gather lowers at the measured elementwise-gather rate
+        # (~0.14 G elem/s -> ~2.4 ms on DD's 335k nodes) and its backward
+        # is an N-element scatter of the same class; the iota-compare mask
+        # is pure VPU work that fuses into the log-softmax pass.
+        onehot = jnp.arange(logp.shape[1], dtype=y.dtype)[None, :] == y[:, None]
+        return -jnp.mean(jnp.sum(jnp.where(onehot, logp, 0.0), axis=1))
 
     # params/opt_state are consumed and rebuilt every epoch — donating them
     # lets XLA update Adam moments and weights in place instead of holding
