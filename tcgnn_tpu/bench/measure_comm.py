@@ -64,7 +64,7 @@ def main(argv=None):
     f.write(
         "dataset,shards,measured_a2a_bytes,measured_a2a_count,"
         "measured_ag_bytes,measured_ppermute_bytes,boundary_rows,"
-        "modeled_a2a_bytes,ratio_a2a_vs_model,ideal_boundary_bytes,"
+        "modeled_halo_bytes,ratio_measured_vs_model,ideal_boundary_bytes,"
         "padding_overhead,dcn_frac_cph4\n"
     )
     for name in args.datasets:
@@ -103,9 +103,12 @@ def main(argv=None):
             halo_rows = sum(s["boundary"] for s in shards)
 
             # Program model (per device, per step): each spmm pass runs one
-            # boundary all-to-all of G * halo-CAPACITY rows at the pass's
-            # feature width, plus (on split graphs) one partial-tile return
-            # of G * pair_cap * blk_h rows (parallel/graph.py
+            # cyclic ppermute per owner offset of the halo plan, each
+            # moving cap_o rows at the pass's feature width (total =
+            # halo_rows, the per-offset-padded boundary — the round-4
+            # global-max all_to_all moved G * capacity rows, 1.3-6.8x the
+            # ideal), plus (on split graphs) one partial-tile all-to-all
+            # return of G * pair_cap * blk_h rows (parallel/graph.py
             # halo_exchange / _make_guest_return).  The hoist=False 2-layer
             # GCN step runs three passes: layer-1 fwd at the sharded input
             # width, layer-2 fwd and layer-2 dx at the hidden width (dx for
@@ -117,7 +120,7 @@ def main(argv=None):
             def pass_bytes(host, width):
                 b = 0
                 if host.halo is not None:
-                    b += g * int(host.halo["capacity"]) * width * 4
+                    b += int(host.halo["halo_rows"]) * width * 4
                 if host.split is not None:
                     b += g * int(host.split["pair_cap"]) * cfg.blk_h * width * 4
                 return b
@@ -138,12 +141,16 @@ def main(argv=None):
                 pc = dg.host_fwd.halo.get("pair_counts")
             dcn = dcn_halo_fraction(pc, 4) if pc is not None else float("nan")
             a2a = stats["all_to_all"]
+            # The halo now rides collective-permutes; split partial-tile
+            # returns remain all-to-alls.  The model covers both, so the
+            # reconciliation compares their SUM.
+            meas = a2a["bytes"] + stats["collective_permute"]["bytes"]
             row = (
                 f"{name},{g},{a2a['bytes']},{a2a['count']},"
                 f"{stats['all_gather']['bytes']},"
                 f"{stats['collective_permute']['bytes']},{halo_rows},"
                 f"{model_bytes},"
-                f"{a2a['bytes'] / model_bytes if model_bytes else float('nan'):.3f},"
+                f"{meas / model_bytes if model_bytes else float('nan'):.3f},"
                 f"{ideal_bytes},"
                 f"{model_bytes / ideal_bytes if ideal_bytes else float('nan'):.3f},"
                 f"{dcn:.4f}\n"

@@ -85,11 +85,11 @@ def shard_stats(row_pointers, column_index, num_nodes, num_shards,
         uniq = np.unique(local_cols)
         remote = uniq[(uniq < r0) | (uniq >= r1)]
         boundary = int(len(remote))
-        # Per-owner request counts — the halo all_to_all pads every (s, t)
-        # pair to the GLOBAL max pair count (partition.build_halo), so the
-        # program's wire volume is G * max(pair) rows per shard, not the
-        # boundary sum.  Measured-vs-model reconciliation
-        # (bench/measure_comm.py) is exact under this accounting.
+        # Per-owner request counts — the per-offset ppermute halo pads
+        # each owner-offset collective to that offset's max pair count
+        # (partition.build_halo offset_caps); the roofline below derives
+        # the wire volume from these counts.  Measured-vs-model
+        # reconciliation lives in bench/measure_comm.py.
         pair_row = np.bincount(
             remote // rows_per_shard, minlength=num_shards
         ).astype(np.int64)
@@ -123,20 +123,23 @@ def roofline(shards, rows_per_shard, dim, config: TileConfig = DEFAULT_CONFIG):
         t_hbm = (tile_bytes + gather_bytes + out_bytes) / HBM_BPS
         t_mxu = s["blocks"] * config.blk_h * config.blk_w * d * 2 / MXU_FLOPS
         t_local.append(max(t_hbm, t_mxu))
-    # ICI: the halo all_to_all pads every shard pair to the global max pair
-    # count H (partition.build_halo), so EVERY shard moves G*H rows per
-    # pass regardless of its own boundary — the program model that
-    # bench/measure_comm.py reconciles byte-exactly against compiled HLO.
-    # (Round 3 modeled per-shard boundary rows, over-predicting scaling
-    # pressure up to 3x on the padded pairs.)  The collective moves
-    # *logical* bytes (XLA relayouts on the wire), so this uses the
+    # ICI: the halo runs one cyclic ppermute per owner offset, each padded
+    # to that OFFSET's max pair count (partition.build_halo offset_caps),
+    # so every shard moves sum_o cap_o rows per pass — the program model
+    # that bench/measure_comm.py reconciles against compiled HLO.  (Round
+    # 3 modeled per-shard boundary rows; round 4 modeled the global-max
+    # all_to_all padding, 1.3-6.8x the ideal boundary.)  The collective
+    # moves *logical* bytes (XLA relayouts on the wire), so this uses the
     # un-padded width — HBM above uses the padded one.
     g = len(shards)
-    cap = max(
-        (int(s["pair_row"].max()) for s in shards if len(s["pair_row"])),
-        default=0,
-    )
-    t_ici = [g * cap * max(dim, 8) * BF16 / ICI_BPS] * g
+    halo_rows_padded = 0
+    for o in range(1, g):
+        cap_o = max(
+            (int(shards[s]["pair_row"][(s + o) % g]) for s in range(g)),
+            default=0,
+        )
+        halo_rows_padded += cap_o
+    t_ici = [halo_rows_padded * max(dim, 8) * BF16 / ICI_BPS] * g
     t_local_max = max(t_local)
     t_ici_max = max(t_ici)
     total_blocks = sum(x["blocks"] for x in shards)

@@ -334,6 +334,24 @@ class DistributedTiledGraph:
             fwd.rows_per_shard, rows_per_shard,
         )
         self.host_fwd, self.host_bwd = fwd, bwd
+        # Static per-offset halo exchange plans (partition.build_halo's
+        # offset_caps), keyed by the send table's trace-time width: the
+        # shard-mapped local fns serve BOTH directions from one closure and
+        # see only the traced arrays, so the plan is recovered from the
+        # send table's (static) shape.  Equal-width tables with different
+        # plans are padded apart so the key stays unambiguous.
+        self._halo_plans = {}
+        for m in (fwd, bwd):
+            if m is None or m.halo is None:
+                continue
+            plan = tuple(m.halo["offset_caps"])
+            w = m.halo["send_idx"].shape[-1]
+            while w in self._halo_plans and self._halo_plans[w] != plan:
+                m.halo["send_idx"] = np.pad(
+                    m.halo["send_idx"], ((0, 0), (0, 1))
+                )
+                w = m.halo["send_idx"].shape[-1]
+            self._halo_plans[w] = plan
         self.padded_nodes = fwd.padded_nodes
         self.padded_edges = fwd.padded_edges
         self.edge_capacity = fwd.edge_capacity
@@ -506,32 +524,42 @@ class DistributedTiledGraph:
         # ---- dense-tile local fns (default path) ---------------------------
         blk_h, blk_w = cfg.blk_h, cfg.blk_w
         pg = self.pg
-        halo_cap = self.host_fwd.halo["capacity"]
+        halo_plans = self._halo_plans
 
         def halo_exchange(x_loc, send_idx):
             """Boundary-only halo exchange over the graph axis.
 
-            ``send_idx`` is this shard's ``[1, G, H]`` slice of the request
-            table: local rows destined for each peer.  One all_to_all moves
-            exactly the boundary rows; the result is the extended slab
-            ``[rows_per_shard + G*H, d]`` whose tail holds, per source
-            shard, the rows this shard requested (the layout
-            ``col_ids_ext`` indexes).  Replaces the full feature-matrix
-            all_gather: per-device memory O(N/G + boundary), ICI volume
-            O(boundary * d).
+            ``send_idx`` is this shard's ``[1, halo_rows]`` slice of the
+            per-offset send table: for each owner offset o of the (static)
+            exchange plan, a cap_o-wide segment of local rows destined for
+            this shard's offset-o receiver.  One cyclic ``ppermute`` per
+            offset moves each segment (source t -> dest (t-o)%G, so dest s
+            receives from owner (s+o)%G — the segment order col_ids_ext's
+            slots index).  Each collective is padded only to ITS offset's
+            max pair count, not the global max the former single
+            all_to_all padded every pair to (1.3-6.8x the ideal boundary
+            bytes, round-4 comm_measured.csv); offsets no shard uses emit
+            nothing.  The result is the extended slab
+            ``[rows_per_shard + halo_rows, d]``.  Replaces the full
+            feature-matrix all_gather: per-device memory
+            O(N/G + boundary), ICI volume O(per-offset-padded boundary).
             """
             if pg == 1:
                 return x_loc
-            h = send_idx.shape[-1]  # capacity differs fwd vs transpose
-            send = jnp.take(
-                x_loc, send_idx[0].reshape(-1), axis=0, fill_value=0
-            ).reshape(pg, h, x_loc.shape[1])
-            recv = jax.lax.all_to_all(
-                send, "graph", split_axis=0, concat_axis=0, tiled=True
-            )
-            return jnp.concatenate(
-                [x_loc, recv.reshape(pg * h, x_loc.shape[1])], axis=0
-            )
+            plan = halo_plans[send_idx.shape[-1]]
+            flat = send_idx[0]
+            segs = [x_loc]
+            pos = 0
+            for o, cap in plan:
+                idx = jax.lax.slice_in_dim(flat, pos, pos + cap)
+                send = jnp.take(x_loc, idx, axis=0, fill_value=0)
+                recv = jax.lax.ppermute(
+                    send, "graph",
+                    [(t, (t - o) % pg) for t in range(pg)],
+                )
+                segs.append(recv)
+                pos += cap
+            return jnp.concatenate(segs, axis=0) if len(segs) > 1 else x_loc
 
         def _w_all_ext(w_loc):
             """All-gathered forward edge vector + appended zero — the shared

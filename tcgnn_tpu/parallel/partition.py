@@ -88,10 +88,13 @@ class ShardedSGTMeta:
     # all-gather.
     edge_fwd_slot: Optional[np.ndarray] = None  # [G, Emax] int32
     # Boundary-only halo exchange (see build_halo): per-shard-pair request
-    # lists + col_ids remapped into the [rows_per_shard + G*H] extended
-    # slab each device assembles from one all_to_all.
-    #   {"capacity": H,
-    #    "send_idx":    [G, G, H] int32  (shard t's local rows for dest s),
+    # lists + col_ids remapped into the [rows_per_shard + halo_rows]
+    # extended slab each device assembles from one cyclic ppermute per
+    # owner offset (each padded to that offset's max pair count).
+    #   {"capacity": H (global max pair, stats only),
+    #    "offset_caps": ((o, cap_o), ...) static exchange plan,
+    #    "halo_rows": sum(cap_o),
+    #    "send_idx":    [G, halo_rows] int32 (per-offset send segments),
     #    "col_ids_ext": [G, Bmax*blk_w] int32,
     #    "overlap_remote_col_ids_ext": [G, ...] int32 | None}
     halo: Optional[dict] = None
@@ -595,13 +598,15 @@ def build_halo(
     """Boundary-only halo structures for the distributed ops.
 
     For each shard s, the *remote set* is the sorted unique global column
-    ids its edges reference outside its own row range.  Slot assignment in
-    the extended slab ``[rows_per_shard + G*H]``: remote node owned by
-    shard t at rank p of s's request to t lives at ``rows_per_shard + t*H
-    + p``; a single ``all_to_all`` over the graph axis delivers exactly
-    those rows (see DistributedTiledGraph).  ``send_idx[t, s]`` lists t's
-    local rows destined for s (0-padded; padded slots land in halo
-    positions no col_id references).
+    ids its edges reference outside its own row range.  The exchange is a
+    sequence of cyclic ``ppermute``s, one per owner OFFSET o in
+    ``offset_caps`` (requester s pulls from owner (s+o)%G), each padded to
+    that offset's max pair count only.  Slot assignment in the extended
+    slab ``[rows_per_shard + halo_rows]``: remote node owned by shard t at
+    rank p of s's request lives at ``rows_per_shard + seg_start[(t-s)%G]
+    + p``.  ``send_idx[t]`` concatenates, per offset segment, t's local
+    rows destined for its offset-o receiver (0-padded; padded slots land
+    in halo positions no col_id references).
 
     Padding col_ids (structural zeros) that are not real columns of the
     shard remap to local slot 0 — their tile entries are zero, so the
@@ -622,7 +627,7 @@ def build_halo(
         requests.append([remote[owner == t] for t in range(G)])
 
     # Per (requesting, owning) shard pair: rows moved by the halo
-    # all_to_all — the measured-traffic ground truth (comm_stats /
+    # exchange — the measured-traffic ground truth (comm_stats /
     # two-level-mesh DCN accounting reads this).
     pair_counts = np.array(
         [[len(requests[s][t]) for t in range(G)] for s in range(G)],
@@ -630,20 +635,54 @@ def build_halo(
     )
     H = max((len(r) for reqs in requests for r in reqs), default=0)
     H = max(int(H), 1)
-    send_idx = np.zeros((G, G, H), np.int32)
-    for s in range(G):
-        for t in range(G):
+
+    # Per-OFFSET capacities: the exchange runs one cyclic ``ppermute`` per
+    # owner offset o (requester s pulls from owner (s+o)%G), each padded
+    # only to that offset's max pair count — not one all_to_all padded to
+    # the GLOBAL max pair count, which measured 1.3-6.8x the ideal
+    # boundary bytes on the AE graphs (round-4 comm_measured.csv).  SPMD
+    # collectives need uniform shapes per op, so per-offset max is the
+    # attainable per-pair capacity; offsets no shard uses are skipped
+    # entirely (banded/RCM graphs exchange only with near neighbors).
+    offset_caps = []
+    for o in range(1, G):
+        cap_o = max(len(requests[s][(s + o) % G]) for s in range(G))
+        if cap_o > 0:
+            offset_caps.append((o, int(cap_o)))
+    offset_caps = tuple(offset_caps)
+    halo_rows = sum(c for _, c in offset_caps)
+    seg_start = {}
+    run = 0
+    for o, c in offset_caps:
+        seg_start[o] = run
+        run += c
+
+    # send_idx[t]: concatenation over offsets o of the local rows shard t
+    # sends to its offset-o receiver s=(t-o)%G (that receiver's request
+    # list), 0-padded to cap_o per segment (padded slots land in halo
+    # positions no col_id references).
+    send_idx = np.zeros((G, max(halo_rows, 1)), np.int32)
+    for t in range(G):
+        for o, cap in offset_caps:
+            s = (t - o) % G
             r = requests[s][t]
-            send_idx[t, s, : len(r)] = (r - t * rows_per_shard).astype(np.int32)
+            p0 = seg_start[o]
+            send_idx[t, p0 : p0 + len(r)] = (
+                r - t * rows_per_shard
+            ).astype(np.int32)
 
     # Per-shard remap tables: concatenating per-owner request lists over
     # ascending owners yields a globally sorted id list (owner t's ids live
     # in [t*rows, (t+1)*rows)), so one searchsorted remaps any column array.
+    # Slot of owner t's rank-p id for requester s: the offset-(t-s)%G
+    # segment of the halo tail, position p.
     def make_remap(s):
         ids = np.concatenate([requests[s][t] for t in range(G)]) if G else np.empty(0, np.int64)
         slots = np.concatenate(
             [
-                rows_per_shard + t * H + np.arange(len(requests[s][t]), dtype=np.int64)
+                rows_per_shard
+                + seg_start.get((t - s) % G, 0)
+                + np.arange(len(requests[s][t]), dtype=np.int64)
                 for t in range(G)
             ]
         ) if G else np.empty(0, np.int64)
@@ -676,6 +715,8 @@ def build_halo(
         sp_ext = np.stack([remaps[s](split_col_ids[s]) for s in range(G)])
     return {
         "capacity": H,
+        "offset_caps": offset_caps,
+        "halo_rows": halo_rows,
         "send_idx": send_idx,
         "col_ids_ext": col_ids_ext,
         "overlap_remote_col_ids_ext": ov_ext,

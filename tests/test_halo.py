@@ -33,22 +33,28 @@ def banded_csr(n, band=3):
 
 def test_halo_capacity_is_boundary_sized():
     """Banded graph: each shard needs only O(band) remote rows, regardless
-    of N — the defining property of a boundary-only exchange."""
+    of N — the defining property of a boundary-only exchange.  With the
+    per-offset plan a banded graph exchanges ONLY with its two neighbor
+    offsets (1 and G-1); far offsets emit no collective at all."""
     band = 3
     for n in (256, 1024):
         ptr, cols = banded_csr(n, band)
         fwd, bwd = partition_graph(ptr, cols, n, 4, CFG)
         assert fwd.halo["capacity"] <= band
         assert bwd.halo["capacity"] <= band
+        offsets = {o for o, _ in fwd.halo["offset_caps"]}
+        assert offsets <= {1, fwd.num_shards - 1}, offsets
+        assert fwd.halo["halo_rows"] <= 2 * band
         # extended slab size vs the full matrix an all_gather would hold
-        ext_rows = fwd.rows_per_shard + fwd.num_shards * fwd.halo["capacity"]
+        ext_rows = fwd.rows_per_shard + fwd.halo["halo_rows"]
         assert ext_rows < fwd.padded_nodes or fwd.num_shards == 1
 
 
 def test_send_idx_rows_are_local():
     ptr, cols = banded_csr(600, 4)
     fwd, _ = partition_graph(ptr, cols, 600, 4, CFG)
-    send = fwd.halo["send_idx"]  # [G, G, H]
+    send = fwd.halo["send_idx"]  # [G, halo_rows]
+    assert send.ndim == 2 and send.shape[0] == fwd.num_shards
     assert send.min() >= 0 and send.max() < fwd.rows_per_shard
 
 
@@ -72,17 +78,21 @@ def test_col_ids_ext_remap_matches_global_gather(seed):
 
     G = 4
     fwd, _ = partition_graph(ptr, cols, n, G, CFG)
-    H = fwd.halo["capacity"]
     rows = fwd.rows_per_shard
     x = rng.standard_normal((fwd.padded_nodes, 8)).astype(np.float32)
 
-    # simulate the all_to_all: recv[s][t] = x[t's rows listed in send_idx[t, s]]
+    # Simulate the per-offset ppermutes: for each offset o, shard s
+    # receives from owner t=(s+o)%G the cap_o-wide segment of t's send
+    # table (parallel/graph.halo_exchange's exact data flow).
     send_idx = fwd.halo["send_idx"]
+    caps = fwd.halo["offset_caps"]
     for s in range(G):
-        recv = np.concatenate(
-            [x[t * rows + send_idx[t, s]] for t in range(G)]
-        )  # [G*H, d]
-        ext = np.concatenate([x[s * rows : (s + 1) * rows], recv])
+        segs, pos = [], 0
+        for o, cap in caps:
+            t = (s + o) % G
+            segs.append(x[t * rows + send_idx[t, pos : pos + cap]])
+            pos += cap
+        ext = np.concatenate([x[s * rows : (s + 1) * rows]] + segs)
         mask = _real_col_mask(fwd, s)
         got = ext[fwd.halo["col_ids_ext"][s]][mask]
         want = x[fwd.col_ids[s]][mask]
@@ -92,6 +102,6 @@ def test_col_ids_ext_remap_matches_global_gather(seed):
 def test_overlap_remote_col_ids_ext_in_range():
     ptr, cols = banded_csr(600, 4)
     fwd, _ = partition_graph(ptr, cols, 600, 4, CFG)
-    ext_rows = fwd.rows_per_shard + fwd.num_shards * fwd.halo["capacity"]
+    ext_rows = fwd.rows_per_shard + fwd.halo["halo_rows"]
     ov = fwd.halo["overlap_remote_col_ids_ext"]
     assert ov.min() >= 0 and ov.max() < ext_rows
