@@ -29,6 +29,7 @@ import numpy as np
 
 from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
 from tcgnn_tpu.ops.sddmm import (
+    build_sddmm_extract_plan,
     sddmm_tc,
     sddmm_tc_dense,
     sddmm_tc_streamed,
@@ -67,6 +68,12 @@ DENSE_TILE_BUDGET_BYTES = 8 << 30
 # into the translate pass) and shipped as one async upload; larger arrays
 # are scatter-built on device from the 4-byte/edge flat positions.
 HOST_TILE_BUILD_LIMIT = 64 << 20
+
+# Above this many f32 score-tile bytes, the condensed SDDMM's per-edge
+# extraction runs the chunk-local sorted path (ops.sddmm
+# build_sddmm_extract_plan): the direct row gather from a multi-GB tile
+# array runs ~3x below the <=100 MB-source gather rate (hub graphs).
+SDDMM_CHUNK_BYTES = 256 << 20
 
 
 def _auto_block_group(row_pointers, column_index, config) -> int:
@@ -481,9 +488,44 @@ class TiledGraph:
                 if symmetric
                 else to_dev(self.meta_t, self.host_meta_t)
             )
+
+        # Chunk-local SDDMM extraction plan (hub graphs whose score-tile
+        # array exceeds the fast-gather source size).  Device half —
+        # sorted positions + CSR ranks — is computed ON DEVICE at build
+        # (sort/scatter, async; nothing syncs, nothing extra uploads);
+        # only the tiny static chunk geometry comes from the host pass.
+        sddmm_ext = None
+        self._sddmm_ext_static = None
+        if (
+            dense_tiles
+            and needs_condensed
+            and self.meta.edge_pos is not None
+            and self.meta.num_blocks * tile_elems * 4 > SDDMM_CHUNK_BYTES
+        ):
+            plan = build_sddmm_extract_plan(
+                self.host_meta.edge_pos, self.meta.num_blocks,
+                config.blk_h, config.blk_w,
+            )
+            if plan is not None:
+                b0s_np, e_start_np, cap, slab_blocks, n_chunks = plan
+                pos = self.meta.edge_pos
+                order = jnp.argsort(pos)
+                pos_sorted = jnp.sort(pos)
+                rank = (
+                    jnp.zeros((self.num_edges,), jnp.int32)
+                    .at[order]
+                    .set(jnp.arange(self.num_edges, dtype=jnp.int32))
+                )
+                pos_pad = jnp.concatenate(
+                    [pos_sorted, jnp.broadcast_to(pos_sorted[-1:], (cap,))]
+                )
+                sddmm_ext = (
+                    pos_pad, rank, jnp.asarray(b0s_np), jnp.asarray(e_start_np)
+                )
+                self._sddmm_ext_static = (cap, slab_blocks, n_chunks)
         self._device_arrays = (
             self.meta, self.meta_t, a_struct, a_struct_t, self._t_edge_src,
-            bd_pack_f, bd_pack_t, smeta_f, smeta_t,
+            bd_pack_f, bd_pack_t, smeta_f, smeta_t, sddmm_ext,
         )
 
         ops = self._make_ops(*self._device_arrays)
@@ -517,8 +559,10 @@ class TiledGraph:
     def _make_ops(
         self, meta, meta_t, a_struct, a_struct_t, t_edge_src,
         bd_pack_f=None, bd_pack_t=None, smeta_f=None, smeta_t=None,
+        sddmm_ext=None,
     ):
         interpret = self.interpret
+        sddmm_ext_static = self._sddmm_ext_static if sddmm_ext is not None else None
 
         def to_t(w):
             return w[t_edge_src]
@@ -662,7 +706,10 @@ class TiledGraph:
                     )
 
                 def sddmm_f(xa, xb):
-                    return sddmm_tc_dense(xa, meta, xb, interpret=interpret)
+                    return sddmm_tc_dense(
+                        xa, meta, xb, interpret=interpret,
+                        ext_plan=sddmm_ext, ext_static=sddmm_ext_static,
+                    )
 
         elif self.dense_tiles:
 
@@ -683,7 +730,10 @@ class TiledGraph:
                 )
 
             def sddmm_f(xa, xb):
-                return sddmm_tc_dense(xa, meta, xb, interpret=interpret)
+                return sddmm_tc_dense(
+                    xa, meta, xb, interpret=interpret,
+                    ext_plan=sddmm_ext, ext_static=sddmm_ext_static,
+                )
 
         else:
 

@@ -96,3 +96,41 @@ def test_spmm_isolated_nodes():
     # oracle's segment order; bit-identity is not expected.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4)
     assert np.abs(np.asarray(got[250:])).max() == 0.0
+
+
+def test_sddmm_chunked_extraction_matches_oracle(monkeypatch):
+    """Hub-graph chunk-local extraction (ops.sddmm.sddmm_extract_chunked):
+    forcing the plan on a small graph must reproduce the direct lane-row
+    extraction bit-for-bit (same tiles, different gather route)."""
+    import tcgnn_tpu.graph as G
+    from tcgnn_tpu.graph import TiledGraph
+    import tcgnn_tpu.ops.sddmm as SD
+
+    n, e = 260, 1600
+    indptr, indices = make_graph(n, e, seed=21)
+    cfg = TileConfig(blk_h=16, blk_w=16, edge_chunk=16)
+    x = jax.random.normal(jax.random.PRNGKey(5), (n, 20), jnp.float32)
+
+    g_plain = TiledGraph(indptr, indices, n, cfg, block_diag=False)
+    assert g_plain._sddmm_ext_static is None
+    want = np.asarray(g_plain.sddmm(x))
+
+    # Force the chunked plan: threshold 0 and a tiny slab so several
+    # chunks + the overlapping last slab are exercised.
+    monkeypatch.setattr(G, "SDDMM_CHUNK_BYTES", 0)
+    orig = SD.build_sddmm_extract_plan
+    monkeypatch.setattr(
+        SD, "build_sddmm_extract_plan",
+        lambda *a, **k: orig(*a, **{**k, "slab_bytes": 3 * 16 * 16 * 4}),
+    )
+    monkeypatch.setattr(G, "build_sddmm_extract_plan", SD.build_sddmm_extract_plan)
+    g_chunk = TiledGraph(indptr, indices, n, cfg, block_diag=False)
+    assert g_chunk._sddmm_ext_static is not None
+    assert g_chunk._sddmm_ext_static[2] > 2  # several chunks
+    got = np.asarray(g_chunk.sddmm(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    oracle = np.asarray(
+        sddmm_ref(x, jnp.asarray(indptr), jnp.asarray(indices))
+    )
+    np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-4)
