@@ -95,7 +95,8 @@ def main(argv=None):
                 hoist=False,
             )
             stats = step_collective_bytes(
-                step, params, opt.init(params), jax.random.PRNGKey(1)
+                step, params, opt.init(params), jax.random.PRNGKey(1),
+                num_devices=g,
             )
             _, shards = shard_stats(
                 ds.row_pointers, ds.column_index, ds.num_nodes, g, config=cfg
@@ -120,17 +121,23 @@ def main(argv=None):
             def pass_bytes(host, width):
                 b = 0
                 if host.halo is not None:
-                    b += int(host.halo["halo_rows"]) * width * 4
+                    # Per-device average wire bytes of the quantized
+                    # partial-pair rounds: each ppermute moves its
+                    # sub-segment on len(pairs) of the G links only.
+                    b += sum(
+                        sz * width * 4 * len(pairs) / g
+                        for _, sz, pairs in host.halo["rounds"]
+                    )
                 if host.split is not None:
                     b += g * int(host.split["pair_cap"]) * cfg.blk_h * width * 4
                 return b
 
             hidden = 16
-            model_bytes = (
+            model_bytes = int(round(
                 pass_bytes(dg.host_fwd, x.shape[1])
                 + pass_bytes(dg.host_fwd, hidden)
                 + pass_bytes(dg.host_bwd, hidden)
-            )
+            ))
             # Ideal boundary volume of the same three passes (no capacity
             # padding), PER DEVICE like the model and the HLO measurement:
             # what a perfectly packed exchange would move.  The

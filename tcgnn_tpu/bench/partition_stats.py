@@ -123,23 +123,21 @@ def roofline(shards, rows_per_shard, dim, config: TileConfig = DEFAULT_CONFIG):
         t_hbm = (tile_bytes + gather_bytes + out_bytes) / HBM_BPS
         t_mxu = s["blocks"] * config.blk_h * config.blk_w * d * 2 / MXU_FLOPS
         t_local.append(max(t_hbm, t_mxu))
-    # ICI: the halo runs one cyclic ppermute per owner offset, each padded
-    # to that OFFSET's max pair count (partition.build_halo offset_caps),
-    # so every shard moves sum_o cap_o rows per pass — the program model
-    # that bench/measure_comm.py reconciles against compiled HLO.  (Round
-    # 3 modeled per-shard boundary rows; round 4 modeled the global-max
-    # all_to_all padding, 1.3-6.8x the ideal boundary.)  The collective
-    # moves *logical* bytes (XLA relayouts on the wire), so this uses the
+    # ICI: the halo runs the quantized partial-pair ppermute rounds
+    # (partition.plan_halo_rounds), so the per-device average wire is the
+    # scheduled rows / G — near the ideal boundary volume, the program
+    # model bench/measure_comm.py reconciles against compiled HLO.
+    # (Round 3 modeled per-shard boundary rows; round 4 the global-max
+    # all_to_all padding, 1.3-6.8x the ideal.)  The collective moves
+    # *logical* bytes (XLA relayouts on the wire), so this uses the
     # un-padded width — HBM above uses the padded one.
+    from tcgnn_tpu.parallel.partition import plan_halo_rounds
+
     g = len(shards)
-    halo_rows_padded = 0
-    for o in range(1, g):
-        cap_o = max(
-            (int(shards[s]["pair_row"][(s + o) % g]) for s in range(g)),
-            default=0,
-        )
-        halo_rows_padded += cap_o
-    t_ici = [halo_rows_padded * max(dim, 8) * BF16 / ICI_BPS] * g
+    pair_counts = [list(map(int, s["pair_row"])) for s in shards]
+    _, rounds, _ = plan_halo_rounds(pair_counts)
+    wire_rows = sum(sz * len(pairs) for _, sz, pairs in rounds) / max(g, 1)
+    t_ici = [wire_rows * max(dim, 8) * BF16 / ICI_BPS] * g
     t_local_max = max(t_local)
     t_ici_max = max(t_ici)
     total_blocks = sum(x["blocks"] for x in shards)

@@ -53,7 +53,9 @@ def _shape_bytes(shape_text: str) -> int:
     return total
 
 
-def collective_bytes_from_hlo(hlo_text: str) -> Dict[str, Dict[str, int]]:
+def collective_bytes_from_hlo(
+    hlo_text: str, num_devices: int | None = None
+) -> Dict[str, Dict[str, int]]:
     """Per-collective-kind {count, bytes} from optimized HLO text.
 
     Bytes are the RESULT shape of each collective instruction (for
@@ -61,6 +63,13 @@ def collective_bytes_from_hlo(hlo_text: str) -> Dict[str, Dict[str, int]]:
     it is the gathered size; for reduce-scatter the reduced shard).
     ``*-start`` forms (async collectives) are counted once; their
     ``*-done`` halves are skipped.
+
+    ``num_devices``: when given, PARTIAL collective-permutes (the
+    quantized halo rounds list only the pairs still owing rows) are
+    weighted by their active-pair fraction ``len(source_target_pairs) /
+    num_devices`` — the per-device average wire bytes; unlisted links
+    move nothing.  Without it every permute counts its full result shape
+    (the pre-round accounting).
     """
     out: Dict[str, Dict[str, int]] = {
         v: {"count": 0, "bytes": 0} for v in _COLLECTIVES.values()
@@ -107,8 +116,16 @@ def collective_bytes_from_hlo(hlo_text: str) -> Dict[str, Dict[str, int]]:
                 shape_text = f"{dt}[{dims}]"
         if "body" in computation or "while" in computation:
             in_loop_body = True
+        nbytes = _shape_bytes(shape_text)
+        if kind == "collective_permute" and num_devices:
+            pm = re.search(
+                r"source_target_pairs=\{(\{[^}]*\}(?:,\{[^}]*\})*)\}", line
+            )
+            if pm:
+                npairs = pm.group(1).count("{")
+                nbytes = int(round(nbytes * npairs / num_devices))
         out[kind]["count"] += 1
-        out[kind]["bytes"] += _shape_bytes(shape_text)
+        out[kind]["bytes"] += nbytes
     if in_loop_body:
         import warnings
 
@@ -142,7 +159,9 @@ def dcn_halo_fraction(pair_counts, chips_per_host: int) -> float:
     return float(cross) / total
 
 
-def step_collective_bytes(fn, *args, **kwargs) -> Dict[str, Any]:
+def step_collective_bytes(
+    fn, *args, num_devices: int | None = None, **kwargs
+) -> Dict[str, Any]:
     """Compile ``fn(*args)`` and report its per-step collective traffic.
 
     ``fn`` may be a jitted function, a plain function (jitted here), or a
@@ -150,7 +169,9 @@ def step_collective_bytes(fn, *args, **kwargs) -> Dict[str, Any]:
     ``.bound_args`` hooks are used).  Returns {kind: {count, bytes}} plus
     ``total_bytes``.  The numbers are per executed step (the compiled
     program body), so multiplying by the epoch count gives training
-    traffic.
+    traffic.  ``num_devices`` (the mesh's total device count) enables
+    active-pair weighting of partial collective-permutes — see
+    :func:`collective_bytes_from_hlo`.
     """
     import jax
 
@@ -162,7 +183,7 @@ def step_collective_bytes(fn, *args, **kwargs) -> Dict[str, Any]:
     else:
         jitted = jax.jit(fn)
     compiled = jitted.lower(*args, **kwargs).compile()
-    stats = collective_bytes_from_hlo(compiled.as_text())
+    stats = collective_bytes_from_hlo(compiled.as_text(), num_devices)
     stats["total_bytes"] = int(
         np.sum([
             v["bytes"] for k, v in stats.items()

@@ -344,7 +344,7 @@ class DistributedTiledGraph:
         for m in (fwd, bwd):
             if m is None or m.halo is None:
                 continue
-            plan = tuple(m.halo["offset_caps"])
+            plan = tuple(m.halo["rounds"])
             w = m.halo["send_idx"].shape[-1]
             while w in self._halo_plans and self._halo_plans[w] != plan:
                 m.halo["send_idx"] = np.pad(
@@ -532,33 +532,30 @@ class DistributedTiledGraph:
             ``send_idx`` is this shard's ``[1, halo_rows]`` slice of the
             per-offset send table: for each owner offset o of the (static)
             exchange plan, a cap_o-wide segment of local rows destined for
-            this shard's offset-o receiver.  One cyclic ``ppermute`` per
-            offset moves each segment (source t -> dest (t-o)%G, so dest s
-            receives from owner (s+o)%G — the segment order col_ids_ext's
-            slots index).  Each collective is padded only to ITS offset's
-            max pair count, not the global max the former single
-            all_to_all padded every pair to (1.3-6.8x the ideal boundary
-            bytes, round-4 comm_measured.csv); offsets no shard uses emit
-            nothing.  The result is the extended slab
+            this shard's offset-o receiver (dest s receives from owner
+            (s+o)%G — the segment order col_ids_ext's slots index).  The
+            exchange runs the quantized partial-pair ROUNDS of
+            ``partition.plan_halo_rounds``: each round is one ppermute of
+            a size-``sz`` sub-segment listing only the pairs still owing
+            rows, so light pairs stop after one round and only the heavy
+            pair rides them all (the former single all_to_all padded
+            every pair to the global max — 1.3-6.8x the ideal boundary
+            bytes, round-4 comm_measured.csv).  Unlisted links move
+            nothing; their receivers get ppermute's zero fill in slots no
+            col_id references.  The result is the extended slab
             ``[rows_per_shard + halo_rows, d]``.  Replaces the full
             feature-matrix all_gather: per-device memory
-            O(N/G + boundary), ICI volume O(per-offset-padded boundary).
+            O(N/G + boundary), ICI volume ~ the ideal boundary volume.
             """
             if pg == 1:
                 return x_loc
-            plan = halo_plans[send_idx.shape[-1]]
+            rounds = halo_plans[send_idx.shape[-1]]
             flat = send_idx[0]
             segs = [x_loc]
-            pos = 0
-            for o, cap in plan:
-                idx = jax.lax.slice_in_dim(flat, pos, pos + cap)
+            for pos, sz, pairs in rounds:
+                idx = jax.lax.slice_in_dim(flat, pos, pos + sz)
                 send = jnp.take(x_loc, idx, axis=0, fill_value=0)
-                recv = jax.lax.ppermute(
-                    send, "graph",
-                    [(t, (t - o) % pg) for t in range(pg)],
-                )
-                segs.append(recv)
-                pos += cap
+                segs.append(jax.lax.ppermute(send, "graph", pairs))
             return jnp.concatenate(segs, axis=0) if len(segs) > 1 else x_loc
 
         def _w_all_ext(w_loc):

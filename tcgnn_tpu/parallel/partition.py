@@ -586,6 +586,75 @@ def split_local_remote(
     return out["local"], out["remote"]
 
 
+def plan_halo_rounds(
+    pair_counts,
+    *,
+    target_overhead: float = 1.2,
+    slack_rows: int = 64,
+    max_rounds_per_offset: int = 16,
+):
+    """Quantized partial-pair exchange schedule over the pair matrix.
+
+    Per owner offset o, a single cyclic ppermute must pad every pair to
+    the offset's max pair count — and one heavy-requester shard (hub
+    windows reference many remote uniques) drives EVERY offset's max,
+    keeping the wire 3-6x the ideal boundary on the AE graphs.  Instead
+    each offset's exchange is split into ROUNDS of quantum Q: round j
+    moves segment rows [j*Q, j*Q+size) and lists ONLY the pairs still
+    owing rows (``ppermute`` with partial source_target_pairs moves
+    nothing on unlisted links).  Light pairs ride one round; the heavy
+    pair rides them all; per-pair padding drops from cap-p to <Q.  Q is
+    the largest halving of the offset's cap whose scheduled wire volume
+    is within ``target_overhead`` of the offset's ideal (+``slack_rows``
+    per pair), bounded by ``max_rounds_per_offset``.
+
+    Returns ``(offset_caps, rounds, halo_rows)`` where rounds is a tuple
+    of ``(pos, size, pairs)`` — ``pos`` the row offset into the send
+    table / halo slab, ``pairs`` a tuple of (src, dst) device pairs.
+    """
+    G = len(pair_counts)
+    offset_caps = []
+    rounds = []
+    pos = 0
+    for o in range(1, G):
+        # p[s] = rows requester s pulls from its offset-o owner (s+o)%G.
+        p = [int(pair_counts[s][(s + o) % G]) for s in range(G)]
+        cap = max(p)
+        if cap == 0:
+            continue
+        ideal = sum(p)
+        budget = target_overhead * ideal + slack_rows * sum(
+            1 for pi in p if pi
+        )
+
+        def schedule(q):
+            sizes = []
+            start = 0
+            while start < cap:
+                sizes.append(min(q, cap - start))
+                start += q
+            wire = sum(
+                sz * sum(1 for pi in p if pi > j * q)
+                for j, sz in enumerate(sizes)
+            )
+            return sizes, wire
+
+        q = cap
+        while True:
+            sizes, wire = schedule(q)
+            if wire <= budget or len(sizes) * 2 > max_rounds_per_offset:
+                break
+            q = -(-q // 2)
+        for j, sz in enumerate(sizes):
+            pairs = tuple(
+                ((s + o) % G, s) for s in range(G) if p[s] > j * q
+            )
+            rounds.append((pos + j * q, sz, pairs))
+        offset_caps.append((o, cap))
+        pos += cap
+    return tuple(offset_caps), tuple(rounds), pos
+
+
 def build_halo(
     local_cols_list: list[np.ndarray],
     col_ids_stacked: np.ndarray,
@@ -636,21 +705,15 @@ def build_halo(
     H = max((len(r) for reqs in requests for r in reqs), default=0)
     H = max(int(H), 1)
 
-    # Per-OFFSET capacities: the exchange runs one cyclic ``ppermute`` per
-    # owner offset o (requester s pulls from owner (s+o)%G), each padded
-    # only to that offset's max pair count — not one all_to_all padded to
-    # the GLOBAL max pair count, which measured 1.3-6.8x the ideal
-    # boundary bytes on the AE graphs (round-4 comm_measured.csv).  SPMD
-    # collectives need uniform shapes per op, so per-offset max is the
-    # attainable per-pair capacity; offsets no shard uses are skipped
-    # entirely (banded/RCM graphs exchange only with near neighbors).
-    offset_caps = []
-    for o in range(1, G):
-        cap_o = max(len(requests[s][(s + o) % G]) for s in range(G))
-        if cap_o > 0:
-            offset_caps.append((o, int(cap_o)))
-    offset_caps = tuple(offset_caps)
-    halo_rows = sum(c for _, c in offset_caps)
+    # Quantized partial-pair ppermute schedule (plan_halo_rounds): per
+    # owner offset o the slab segment is that offset's max pair count,
+    # and the exchange over it runs in partial-pair rounds so light
+    # pairs stop sending once their rows are delivered — not one
+    # all_to_all padded to the GLOBAL max pair count, which measured
+    # 1.3-6.8x the ideal boundary bytes on the AE graphs (round-4
+    # comm_measured.csv).  Offsets no shard uses are skipped entirely
+    # (banded/RCM graphs exchange only with near neighbors).
+    offset_caps, rounds, halo_rows = plan_halo_rounds(pair_counts)
     seg_start = {}
     run = 0
     for o, c in offset_caps:
@@ -716,6 +779,7 @@ def build_halo(
     return {
         "capacity": H,
         "offset_caps": offset_caps,
+        "rounds": rounds,
         "halo_rows": halo_rows,
         "send_idx": send_idx,
         "col_ids_ext": col_ids_ext,

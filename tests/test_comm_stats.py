@@ -43,7 +43,10 @@ def _step_stats(ptr, cols, n, mesh, dim=16, classes=4, kind="gcn"):
         dg, kind, x, y, opt, 0.0, num_valid_classes=classes
     )
     return (
-        step_collective_bytes(step, params, opt.init(params), jax.random.PRNGKey(1)),
+        step_collective_bytes(
+            step, params, opt.init(params), jax.random.PRNGKey(1),
+            num_devices=mesh.size,
+        ),
         dg,
     )
 
@@ -96,23 +99,25 @@ def test_step_emits_collectives_and_boundary_scale(mesh42):
     boundary_total = sum(s["boundary"] for s in shards)
     # Per-op modeled volume; the step runs a handful of halo ops (layers x
     # fwd/bwd).  Sharded width is dim padded over the feature axis.
-    per_op = boundary_total * 8 * 4  # boundary rows x min sharded width x f32
+    # Measured bytes are the PER-DEVICE average (partial permutes weighted
+    # by active-pair fraction), so the floor divides by the graph shards.
+    per_op = boundary_total * 8 * 4 // dg.pg
     measured = (
         stats["collective_permute"]["bytes"] + stats["all_to_all"]["bytes"]
     )
     assert measured >= per_op, (measured, per_op)
     assert measured <= 40 * per_op, (measured, per_op)
-    # Per-offset capacities bound the wire volume near the ideal boundary:
-    # total ppermute rows per pass = G * halo_rows vs the exact per-pair
-    # sum, and always <= the former global-max all_to_all padding.
-    # (Exact per-pair sizes need ragged_all_to_all, which XLA:CPU does not
-    # implement — per-offset max is the attainable SPMD capacity.)
+    # The quantized partial-pair rounds bound the wire volume near the
+    # ideal boundary: scheduled rows (sz x active pairs summed over
+    # rounds) vs the exact per-pair sum — and always <= the former
+    # global-max all_to_all padding.
     halo = dg.host_fwd.halo
     ideal = int(halo["pair_counts"].sum())
-    padded = dg.pg * halo["halo_rows"]
+    n_pairs = int((halo["pair_counts"] > 0).sum())
+    wire = sum(sz * len(pairs) for _, sz, pairs in halo["rounds"])
     global_max = dg.pg * dg.pg * int(halo["capacity"])
-    assert padded <= global_max, (padded, global_max)
-    assert padded <= 2.0 * ideal, (padded, ideal)
+    assert wire <= global_max, (wire, global_max)
+    assert wire <= 1.25 * ideal + 64 * n_pairs, (wire, ideal)
 
 
 def test_banded_moves_less_than_random(mesh42):
