@@ -119,6 +119,11 @@ def main(argv=None):
             # pass) while ignoring capacity padding (under-counts); this
             # model tracks the emitted program.
             def pass_bytes(host, width):
+                if dg.streamed:
+                    # Streamed shards halo via ONE all_gather of the sharded
+                    # feature matrix per pass (result = full matrix per
+                    # device).
+                    return dg.padded_nodes * width * 4
                 b = 0
                 if host.halo is not None:
                     # Per-device average wire bytes of the quantized
@@ -150,8 +155,13 @@ def main(argv=None):
             a2a = stats["all_to_all"]
             # The halo now rides collective-permutes; split partial-tile
             # returns remain all-to-alls.  The model covers both, so the
-            # reconciliation compares their SUM.
-            meas = a2a["bytes"] + stats["collective_permute"]["bytes"]
+            # reconciliation compares their SUM.  Streamed shards halo via
+            # all_gather instead (see pass_bytes).
+            meas = (
+                stats["all_gather"]["bytes"]
+                if dg.streamed
+                else a2a["bytes"] + stats["collective_permute"]["bytes"]
+            )
             row = (
                 f"{name},{g},{a2a['bytes']},{a2a['count']},"
                 f"{stats['all_gather']['bytes']},"

@@ -151,6 +151,51 @@ def probe_block_diag(
     return _ok(bdm) and _ok(bdm_t), bdm, bdm_t, symmetric, (t_ptr, t_idx, t_src)
 
 
+def _shards_need_streaming(
+    row_pointers, column_index, num_nodes, num_shards, config
+) -> bool:
+    """Cheap routing probe: would any shard's one-shot chunk metadata
+    overflow the SMEM-prefetch or condensed-slab ceilings
+    (``sgt.stream.needs_streaming``'s limits, applied per shard)?"""
+    from tcgnn_tpu.sgt import native
+    from tcgnn_tpu.sgt.stream import MAX_PREFETCH_CHUNKS, MAX_SLAB_ROWS
+
+    blk_h = config.blk_h
+    ptr = np.asarray(row_pointers, np.int64)
+    n_windows = max(-(-num_nodes // blk_h), 1)
+    wd = -(-n_windows // num_shards)
+    rows_per_shard = wd * blk_h
+    n_pad = num_shards * rows_per_shard
+    ptr = np.concatenate(
+        [ptr, np.full(n_pad + 1 - len(ptr), ptr[-1], np.int64)]
+    )
+    cols = np.asarray(column_index)
+    for s in range(num_shards):
+        r0, r1 = s * rows_per_shard, (s + 1) * rows_per_shard
+        e_s = int(ptr[r1] - ptr[r0])
+        # Chunk count is at least edges/EC + one initializing chunk per
+        # window — an estimate is enough for routing (borderline graphs
+        # are valid on either path).
+        if e_s // config.edge_chunk + wd > MAX_PREFETCH_CHUNKS:
+            return True
+        if native.available() and e_s:
+            blocks = int(np.sum(native.count_blocks(
+                np.ascontiguousarray(ptr[r0:r1 + 1] - ptr[r0]),
+                np.ascontiguousarray(cols[ptr[r0]:ptr[r1]], np.int32),
+                blk_h, config.blk_w,
+            )))
+            if blocks * config.blk_w > MAX_SLAB_ROWS:
+                return True
+    return False
+
+
+# Distributed streamed path (per-shard window segments, sgt/stream.py).
+_STREAM_FIELDS = (
+    "seg_col_ids", "seg_r", "seg_c", "seg_edge_id",
+    "seg_block", "seg_window", "seg_first", "edge_perm", "edge_valid",
+)
+
+
 _META_FIELDS = (
     "col_ids",
     "chunk_r",
@@ -265,8 +310,10 @@ class DistributedTiledGraph:
         dense_tiles: Optional[bool] = None,
         block_diag: Optional[bool] = None,
         split: Optional[bool] = None,
+        streamed: Optional[bool] = None,
         _probe=None,
         _symmetric: Optional[bool] = None,
+        _stream_limits: Optional[tuple] = None,
     ):
         if mesh is None:
             from tcgnn_tpu.parallel.mesh import make_mesh
@@ -313,6 +360,29 @@ class DistributedTiledGraph:
             raise ValueError(
                 "block_diag requested but the graph is not fully covered "
                 "by shard-compatible diagonals"
+            )
+
+        # Reddit-class shards overflow the one-shot chunk kernels' SMEM /
+        # condensed-slab ceilings exactly like the single-device path
+        # (sgt/stream.py); route to the per-shard window-segment STREAMED
+        # composition: each shard lax.scans one compiled chunk kernel over
+        # its segments inside the shard map.
+        self.streamed = False
+        if streamed is None and not self.block_diag:
+            streamed = _shards_need_streaming(
+                row_pointers, column_index, self.num_nodes, self.pg, config
+            )
+        if streamed and not self.block_diag:
+            self.streamed = True
+            from tcgnn_tpu.sgt.translate import transpose_csr
+
+            if t_csr is None:
+                t_csr = transpose_csr(
+                    row_pointers, column_index, self.num_nodes
+                )
+            return self._init_streamed(
+                row_pointers, column_index, t_csr, mesh, config,
+                _stream_limits,
             )
 
         # Mega-window block-stream split (partition.build_split): auto on
@@ -452,7 +522,222 @@ class DistributedTiledGraph:
             check_vma=False,
         )
 
+    def _init_streamed(
+        self, row_pointers, column_index, t_csr, mesh, config, stream_limits
+    ):
+        """Finish construction on the distributed STREAMED route.
+
+        Light (layout-only) partition metas provide edge offsets /
+        capacities / the transpose->forward slot table; the heavy
+        per-shard data is the stacked window-segment metadata
+        (``partition.partition_streamed``), scanned by one compiled chunk
+        kernel per shard inside the shard map.  Halo = one all_gather of
+        the sharded feature matrix (the chunk fallback's exchange): at
+        Reddit scale the O(N*D) matrix is small next to the O(E) stream.
+        """
+        from tcgnn_tpu.parallel.partition import partition_streamed
+
+        t_ptr, t_idx, t_src = t_csr
+        fwd, bwd = partition_graph(
+            row_pointers, column_index, self.num_nodes, self.pg, config,
+            build_tiles=False, transpose=(t_ptr, t_idx, t_src),
+        )
+        self.host_fwd, self.host_bwd = fwd, bwd
+        self._halo_plans = {}
+        self.padded_nodes = fwd.padded_nodes
+        self.padded_edges = fwd.padded_edges
+        self.edge_capacity = fwd.edge_capacity
+        self.dense_tiles = False
+        self._bd_host = None
+        self._fwd = self._bwd = None
+        mc, msr = stream_limits if stream_limits is not None else (None, None)
+        sp_f = partition_streamed(
+            row_pointers, column_index, self.num_nodes, self.pg, config,
+            edge_capacity=fwd.edge_capacity, max_chunks=mc,
+            max_slab_rows=msr,
+        )
+        sp_b = partition_streamed(
+            t_ptr, t_idx, self.num_nodes, self.pg, config,
+            edge_capacity=bwd.edge_capacity, max_chunks=mc,
+            max_slab_rows=msr,
+        )
+        sh = NamedSharding(mesh, P("graph"))
+
+        def put(sp):
+            return tuple(
+                jax.device_put(jnp.asarray(sp["arrays"][k]), sh)
+                for k in _STREAM_FIELDS
+            )
+
+        efs = jax.device_put(jnp.asarray(bwd.edge_fwd_slot), sh)
+        self._device_arrays = (put(sp_f), put(sp_b) + (efs,))
+        sp_f.pop("arrays")
+        sp_b.pop("arrays")
+        self._stream_static = (sp_f, sp_b)
+        self._node_sh = NamedSharding(mesh, P("graph", "feature"))
+        self._edge_sh = NamedSharding(mesh, P("graph"))
+        self._ag_split = False
+        self._build_ops()
+
+    def _build_ops_streamed(self):
+        """Shard-mapped streamed primitives (lax.scan over segments)."""
+        from tcgnn_tpu.ops.sddmm import sddmm_tc_streamed
+        from tcgnn_tpu.ops.spmm import spmm_tc_streamed
+        from tcgnn_tpu.sgt.stream import StreamedJaxMeta
+
+        cfg = self.config
+        interpret = self.interpret
+        pf = self.pf
+        sp_f, sp_b = self._stream_static
+        rows = sp_f["rows_per_shard"]
+        node_spec = P("graph", "feature")
+        edge_spec = P("graph")
+        specs = tuple(P("graph") for _ in _STREAM_FIELDS)
+
+        def bind_smeta(m, sp):
+            return StreamedJaxMeta(
+                config=cfg,
+                num_nodes=self.padded_nodes,
+                num_edges=int(m["edge_perm"].shape[-1]),
+                num_windows=sp["windows_per_shard"],
+                wseg=sp["wseg"],
+                num_segments=sp["num_segments"],
+                **{
+                    k: m[k][0]
+                    for k in _STREAM_FIELDS
+                    if k != "edge_valid"
+                },
+            )
+
+        def _core(x_loc, w_loc, arrs, sp, weighted, fwd_slot):
+            names = _STREAM_FIELDS + (("edge_fwd_slot",) if fwd_slot else ())
+            m = dict(zip(names, arrs))
+            smeta = bind_smeta(m, sp)
+            x_full = jax.lax.all_gather(x_loc, "graph", axis=0, tiled=True)
+            if weighted:
+                if fwd_slot:
+                    # Transpose weights arrive forward-ordered: all-gather
+                    # the forward edge vector and route each local
+                    # transpose edge through its fwd slot (sentinel -> the
+                    # appended zero).
+                    w_all = jax.lax.all_gather(
+                        w_loc, "graph", axis=0, tiled=True
+                    )
+                    w_ext = jnp.concatenate(
+                        [w_all, jnp.zeros((1,), w_all.dtype)]
+                    )
+                    w_dir = w_ext[m["edge_fwd_slot"][0]]
+                else:
+                    w_dir = w_loc
+                out = spmm_tc_streamed(
+                    x_full, smeta, edge_weights=w_dir, interpret=interpret
+                )
+            else:
+                out = spmm_tc_streamed(x_full, smeta, interpret=interpret)
+            return out[:rows]
+
+        def local_u_f(x_loc, *arrs):
+            return _core(x_loc, None, arrs, sp_f, False, False)
+
+        def local_u_b(x_loc, *arrs):
+            return _core(x_loc, None, arrs, sp_b, False, False)
+
+        def local_w_f(x_loc, w_loc, *arrs):
+            return _core(x_loc, w_loc, arrs, sp_f, True, False)
+
+        def local_w_b(x_loc, w_loc, *arrs):
+            return _core(x_loc, w_loc, arrs, sp_b, True, True)
+
+        def local_sddmm(xa_loc, xb_loc, *arrs):
+            m = dict(zip(_STREAM_FIELDS, arrs))
+            smeta = bind_smeta(m, sp_f)
+            xb_full = jax.lax.all_gather(xb_loc, "graph", axis=0, tiled=True)
+            s = sddmm_tc_streamed(xa_loc, smeta, xb_full, interpret=interpret)
+            s = jnp.where(m["edge_valid"][0], s, 0.0)
+            if pf > 1:
+                s = jax.lax.psum(s, "feature")
+            return s
+
+        self._stream_sms = (
+            self._shardmap(local_u_f, in_specs=(node_spec,) + specs,
+                           out_specs=node_spec),
+            self._shardmap(local_u_b, in_specs=(node_spec,) + specs,
+                           out_specs=node_spec),
+            self._shardmap(local_w_f, in_specs=(node_spec, edge_spec) + specs,
+                           out_specs=node_spec),
+            self._shardmap(
+                local_w_b,
+                in_specs=(node_spec, edge_spec) + specs + (P("graph"),),
+                out_specs=node_spec,
+            ),
+            self._shardmap(local_sddmm,
+                           in_specs=(node_spec, node_spec) + specs,
+                           out_specs=edge_spec),
+        )
+        ops = self._make_ops_streamed(*self._device_arrays)
+        self.spmm, self.spmm_weighted, self.sddmm, self.agnn_aggregate = ops
+
+    def _make_ops_streamed(self, fwd_meta, bwd_meta_slot):
+        """Public custom_vjp ops over the streamed shard-mapped primitives
+        (mirrors ``_make_ops`` minus split/overlap/fused-AGNN)."""
+        bwd_meta = bwd_meta_slot[:-1]
+        _u_f, _u_b, _w_f, _w_b, _sddmm = self._stream_sms
+        d_quantum = 8 * self.pf
+
+        def pad_d(x):
+            d = x.shape[1]
+            d_pad = _round_up(max(d, 1), d_quantum)
+            if d_pad != d:
+                x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+            return x
+
+        @jax.custom_vjp
+        def spmm(x):
+            return _u_f(pad_d(x), *fwd_meta)[:, : x.shape[1]]
+
+        def spmm_fwd(x):
+            return spmm(x), None
+
+        def spmm_bwd(_, dy):
+            return (_u_b(pad_d(dy), *bwd_meta)[:, : dy.shape[1]],)
+
+        spmm.defvjp(spmm_fwd, spmm_bwd)
+
+        @jax.custom_vjp
+        def spmm_weighted(x, w):
+            return _w_f(pad_d(x), w, *fwd_meta)[:, : x.shape[1]]
+
+        def spmm_weighted_fwd(x, w):
+            return spmm_weighted(x, w), (x, w)
+
+        def spmm_weighted_bwd(res, dy):
+            x, w = res
+            dx = _w_b(pad_d(dy), w, *bwd_meta_slot)[:, : dy.shape[1]]
+            dw = _sddmm(pad_d(dy), pad_d(x), *fwd_meta)
+            return dx, dw
+
+        spmm_weighted.defvjp(spmm_weighted_fwd, spmm_weighted_bwd)
+
+        @jax.custom_vjp
+        def sddmm(x):
+            xp = pad_d(x)
+            return _sddmm(xp, xp, *fwd_meta)
+
+        def sddmm_fwd(x):
+            return sddmm(x), x
+
+        def sddmm_bwd(x, de):
+            d_rows = spmm_weighted(x, de)
+            d_cols = _w_b(pad_d(x), de, *bwd_meta_slot)[:, : x.shape[1]]
+            return (d_rows + d_cols,)
+
+        sddmm.defvjp(sddmm_fwd, sddmm_bwd)
+
+        return spmm, spmm_weighted, sddmm, None
+
     def _build_ops(self):
+        if self.streamed:
+            return self._build_ops_streamed()
         if self.block_diag:
             return self._build_ops_bd()
         cfg = self.config
@@ -1462,7 +1747,12 @@ class DistributedTiledGraph:
         return self._device_arrays
 
     def bind(self, device_arrays) -> "BoundDistributedGraph":
-        mk = self._make_ops_bd if self.block_diag else self._make_ops
+        if self.streamed:
+            mk = self._make_ops_streamed
+        elif self.block_diag:
+            mk = self._make_ops_bd
+        else:
+            mk = self._make_ops
         return BoundDistributedGraph(self, mk(*device_arrays))
 
     def _make_ops(

@@ -586,6 +586,107 @@ def split_local_remote(
     return out["local"], out["remote"]
 
 
+def partition_streamed(
+    row_pointers: np.ndarray,
+    column_index: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+    config: TileConfig = DEFAULT_CONFIG,
+    edge_capacity: Optional[int] = None,
+    max_chunks: Optional[int] = None,
+    max_slab_rows: Optional[int] = None,
+) -> dict:
+    """Per-shard window-segment streamed chunk metadata (Reddit-scale).
+
+    The one-shot stacked chunk layout (``partition_csr``) breaks past the
+    chunk kernels' SMEM-prefetch / condensed-slab ceilings exactly like
+    the single-device path does (``sgt/stream.py``); this builder runs
+    the SAME window-segment streaming per shard and stacks the segment
+    arrays ``[G, S, ...]`` with shard-uniform S / chunk / slab capacities
+    (SPMD shard_map needs one static shape), so the distributed step
+    lax.scans one compiled kernel over each shard's segments.
+
+    Returns a dict of stacked numpy arrays + the uniform statics.
+    ``max_chunks`` / ``max_slab_rows`` override the per-segment ceilings
+    (tests force multi-segment streams on small graphs).
+    """
+    from tcgnn_tpu.sgt import stream as stream_lib
+
+    mc = stream_lib.MAX_PREFETCH_CHUNKS if max_chunks is None else max_chunks
+    msr = stream_lib.MAX_SLAB_ROWS if max_slab_rows is None else max_slab_rows
+    blk_h = config.blk_h
+    row_pointers = np.asarray(row_pointers, dtype=np.int64)
+    column_index = np.asarray(column_index, dtype=np.int64)
+    num_windows = max(_cdiv(num_nodes, blk_h), 1)
+    wd = _cdiv(num_windows, num_shards)
+    rows_per_shard = wd * blk_h
+    n_pad = num_shards * rows_per_shard
+    ptr = np.concatenate(
+        [row_pointers,
+         np.full(n_pad + 1 - len(row_pointers), row_pointers[-1], np.int64)]
+    )
+    edge_start = ptr[::rows_per_shard].copy()
+
+    metas = []
+    for s in range(num_shards):
+        r0, r1 = s * rows_per_shard, (s + 1) * rows_per_shard
+        metas.append(sparse_graph_translate(
+            ptr[r0:r1 + 1] - ptr[r0], column_index[ptr[r0]:ptr[r1]],
+            rows_per_shard, config, emit_chunks=True, build_tiles=False,
+        ))
+
+    # Agree on shard-uniform segmentation: max natural S, then the maxima
+    # of the per-shard capacities at that S.
+    plans = [
+        stream_lib.segment_chunks(
+            m, max_chunks=mc, max_slab_rows=msr, plan_only=True
+        )
+        for m in metas
+    ]
+    S = max(p[0] for p in plans)
+    plans = [
+        stream_lib.segment_chunks(m, num_segments=S, plan_only=True)
+        for m in metas
+    ]
+    c_max = max(p[2] for p in plans)
+    b_max = max(p[3] for p in plans)
+    smetas = [
+        stream_lib.segment_chunks(
+            m, num_segments=S, pad_chunks_to=c_max, pad_slab_blocks_to=b_max
+        )
+        for m in metas
+    ]
+
+    counts = np.diff(edge_start)
+    e_max = int(
+        edge_capacity if edge_capacity is not None else max(counts.max(), 1)
+    )
+    G = num_shards
+    perm_dtype = np.int64 if S * c_max * config.edge_chunk >= 2**31 else np.int32
+    edge_perm = np.zeros((G, e_max), perm_dtype)
+    edge_valid = np.zeros((G, e_max), bool)
+    out = {k: [] for k in stream_lib._S_ARRAY_FIELDS if k != "edge_perm"}
+    for s, sm in enumerate(smetas):
+        for k in out:
+            out[k].append(np.asarray(getattr(sm, k)))
+        ep = np.asarray(sm.edge_perm)
+        edge_perm[s, : len(ep)] = ep
+        edge_valid[s, : len(ep)] = True
+    arrays = {k: np.stack(v) for k, v in out.items()}
+    arrays["edge_perm"] = edge_perm
+    arrays["edge_valid"] = edge_valid
+    return {
+        "arrays": arrays,
+        "wseg": int(smetas[0].wseg),
+        "num_segments": int(S),
+        "rows_per_shard": rows_per_shard,
+        "windows_per_shard": wd,
+        "edge_capacity": e_max,
+        "edge_start": edge_start.astype(np.int64),
+        "num_real_blocks": sum(m.num_real_blocks for m in metas),
+    }
+
+
 def plan_halo_rounds(
     pair_counts,
     *,

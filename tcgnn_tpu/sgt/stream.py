@@ -108,6 +108,9 @@ def segment_chunks(
     max_chunks: int = MAX_PREFETCH_CHUNKS,
     max_slab_rows: int = MAX_SLAB_ROWS,
     num_segments: Optional[int] = None,
+    pad_chunks_to: Optional[int] = None,
+    pad_slab_blocks_to: Optional[int] = None,
+    plan_only: bool = False,
 ) -> StreamedJaxMeta:
     """Re-lay chunk metadata as uniform window segments (host pass).
 
@@ -116,6 +119,13 @@ def segment_chunks(
     condensed-slab rows fit ``max_slab_rows``; cuts are at window
     boundaries, so per-window chunk runs (and their first-in-window flags)
     transfer unchanged.
+
+    ``pad_chunks_to`` / ``pad_slab_blocks_to`` force the per-segment
+    chunk / block capacities past the natural maxima — the distributed
+    streamed path stacks several shards' segment arrays and needs
+    uniform shapes across shards.  ``plan_only=True`` returns just
+    ``(S, wseg, c_max, b_max)`` without building the (GB-scale) arrays,
+    so the cross-shard maxima can be agreed on first.
     """
     import jax.numpy as jnp
 
@@ -146,6 +156,14 @@ def segment_chunks(
                 break
     b_max = int(np.max(np.diff(b_cuts)))
     c_max = max(int(np.max(np.diff(c_cuts))), 1)
+    if pad_slab_blocks_to is not None:
+        assert pad_slab_blocks_to >= b_max, (pad_slab_blocks_to, b_max)
+        b_max = pad_slab_blocks_to
+    if pad_chunks_to is not None:
+        assert pad_chunks_to >= c_max, (pad_chunks_to, c_max)
+        c_max = pad_chunks_to
+    if plan_only:
+        return S, wseg, c_max, b_max
 
     # np.empty + explicit pad-tail writes: the copy loop fills [:nc] anyway,
     # so np.full would touch the ~GB-scale arrays twice (reddit: 1.8 GB of
