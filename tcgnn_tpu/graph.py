@@ -29,7 +29,6 @@ import numpy as np
 
 from tcgnn_tpu.config import DEFAULT_CONFIG, TileConfig
 from tcgnn_tpu.ops.sddmm import (
-    build_sddmm_extract_plan,
     sddmm_tc,
     sddmm_tc_dense,
     sddmm_tc_streamed,
@@ -69,11 +68,18 @@ DENSE_TILE_BUDGET_BYTES = 8 << 30
 # are scatter-built on device from the 4-byte/edge flat positions.
 HOST_TILE_BUILD_LIMIT = 64 << 20
 
-# Above this many f32 score-tile bytes, the condensed SDDMM's per-edge
-# extraction runs the chunk-local sorted path (ops.sddmm
-# build_sddmm_extract_plan): the direct row gather from a multi-GB tile
-# array runs ~3x below the <=100 MB-source gather rate (hub graphs).
-SDDMM_CHUNK_BYTES = 256 << 20
+# Above this many f32 score-tile bytes, the condensed SDDMM skips the
+# score-tile materialization entirely and computes the per-edge dots
+# directly (2E row gathers from the SMALL [N, d] operand — the same 2E
+# row-gather bound class the BD edge-dot path sits on).  The tile-path
+# extraction row-gathers E rows from the tile array itself, which at
+# hub-graph sizes (amazon class: 2 GB) runs ~3x below the <=100 MB-source
+# gather rate AND pays the tile write/read first; measured on
+# amazon0505: 56.7 ms tile-path vs ~20 ms edge-dot.  A position-chunked
+# slab extraction was built and measured in between: the 0.7%-dense
+# position space breaks edge-capacity uniformity on hub graphs (ppi
+# 4.6->7.8, amazon0505 56.7->69.9) — rejected.
+SDDMM_EDGE_DOT_BYTES = 512 << 20
 
 
 def _auto_block_group(row_pointers, column_index, config) -> int:
@@ -489,40 +495,24 @@ class TiledGraph:
                 else to_dev(self.meta_t, self.host_meta_t)
             )
 
-        # Chunk-local SDDMM extraction plan (hub graphs whose score-tile
-        # array exceeds the fast-gather source size).  Device half —
-        # sorted positions + CSR ranks — is computed ON DEVICE at build
-        # (sort/scatter, async; nothing syncs, nothing extra uploads);
-        # only the tiny static chunk geometry comes from the host pass.
+        # Edge-dot SDDMM route for hub graphs (see SDDMM_EDGE_DOT_BYTES):
+        # per-edge CSR rows are expanded ON DEVICE at build (repeat over
+        # degree counts — async, no extra host upload); cols ride the
+        # already-resident column_index.  Both pass through the device
+        # arrays so jitted steps carry no multi-MB HLO constants.
         sddmm_ext = None
-        self._sddmm_ext_static = None
         if (
             dense_tiles
             and needs_condensed
-            and self.meta.edge_pos is not None
-            and self.meta.num_blocks * tile_elems * 4 > SDDMM_CHUNK_BYTES
+            and self.num_edges
+            and nb_f * tile_elems * 4 > SDDMM_EDGE_DOT_BYTES
         ):
-            plan = build_sddmm_extract_plan(
-                self.host_meta.edge_pos, self.meta.num_blocks,
-                config.blk_h, config.blk_w,
+            ed_rows = jnp.repeat(
+                jnp.arange(self.num_nodes, dtype=jnp.int32),
+                jnp.diff(self.row_pointers),
+                total_repeat_length=self.num_edges,
             )
-            if plan is not None:
-                b0s_np, e_start_np, cap, slab_blocks, n_chunks = plan
-                pos = self.meta.edge_pos
-                order = jnp.argsort(pos)
-                pos_sorted = jnp.sort(pos)
-                rank = (
-                    jnp.zeros((self.num_edges,), jnp.int32)
-                    .at[order]
-                    .set(jnp.arange(self.num_edges, dtype=jnp.int32))
-                )
-                pos_pad = jnp.concatenate(
-                    [pos_sorted, jnp.broadcast_to(pos_sorted[-1:], (cap,))]
-                )
-                sddmm_ext = (
-                    pos_pad, rank, jnp.asarray(b0s_np), jnp.asarray(e_start_np)
-                )
-                self._sddmm_ext_static = (cap, slab_blocks, n_chunks)
+            sddmm_ext = (ed_rows, self.column_index)
         self._device_arrays = (
             self.meta, self.meta_t, a_struct, a_struct_t, self._t_edge_src,
             bd_pack_f, bd_pack_t, smeta_f, smeta_t, sddmm_ext,
@@ -562,7 +552,20 @@ class TiledGraph:
         sddmm_ext=None,
     ):
         interpret = self.interpret
-        sddmm_ext_static = self._sddmm_ext_static if sddmm_ext is not None else None
+
+        def _edge_dot_sddmm(xa, xb):
+            # Hub-graph route: per-edge <xa[row_e], xb[col_e]> from two E-row
+            # gathers of the SMALL [N, d] operands — the 2E row-gather
+            # bound, skipping the multi-GB score-tile array entirely (see
+            # SDDMM_EDGE_DOT_BYTES).  CSR-ordered rows gather near-
+            # sequentially; f32 products/sums fuse into the gathers.
+            ed_rows, ed_cols = sddmm_ext
+            ct = self.config.compute_dtype
+            a = jnp.take(xa.astype(ct), ed_rows, axis=0, fill_value=0)
+            b = jnp.take(xb.astype(ct), ed_cols, axis=0, fill_value=0)
+            return jnp.sum(
+                a.astype(jnp.float32) * b.astype(jnp.float32), axis=1
+            )
 
         def to_t(w):
             return w[t_edge_src]
@@ -705,11 +708,14 @@ class TiledGraph:
                         interpret=interpret,
                     )
 
-                def sddmm_f(xa, xb):
-                    return sddmm_tc_dense(
-                        xa, meta, xb, interpret=interpret,
-                        ext_plan=sddmm_ext, ext_static=sddmm_ext_static,
-                    )
+                if sddmm_ext is not None:
+                    sddmm_f = _edge_dot_sddmm
+                else:
+
+                    def sddmm_f(xa, xb):
+                        return sddmm_tc_dense(
+                            xa, meta, xb, interpret=interpret
+                        )
 
         elif self.dense_tiles:
 
@@ -729,11 +735,12 @@ class TiledGraph:
                     dy, meta_t, build_a_tiles(meta_t, to_t(w)), interpret=interpret
                 )
 
-            def sddmm_f(xa, xb):
-                return sddmm_tc_dense(
-                    xa, meta, xb, interpret=interpret,
-                    ext_plan=sddmm_ext, ext_static=sddmm_ext_static,
-                )
+            if sddmm_ext is not None:
+                sddmm_f = _edge_dot_sddmm
+            else:
+
+                def sddmm_f(xa, xb):
+                    return sddmm_tc_dense(xa, meta, xb, interpret=interpret)
 
         else:
 

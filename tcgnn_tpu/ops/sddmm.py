@@ -377,16 +377,8 @@ def sddmm_tc_dense(
     *,
     interpret: bool | None = None,
     d_tile: int = 128,
-    ext_plan=None,
-    ext_static=None,
 ) -> jnp.ndarray:
-    """Dense-tile SDDMM: per-edge ``e = <xa[row_e], xb[col_e]>`` (CSR order).
-
-    ``ext_plan``/``ext_static`` (device arrays + static ints from
-    ``build_sddmm_extract_plan``) switch the per-edge extraction to the
-    chunk-local sorted path — the hub-graph fix for the degraded
-    large-source row-gather rate.
-    """
+    """Dense-tile SDDMM: per-edge ``e = <xa[row_e], xb[col_e]>`` (CSR order)."""
     if interpret is None:
         interpret = default_interpret()
     if xb is None:
@@ -401,15 +393,6 @@ def sddmm_tc_dense(
         interpret=interpret,
         d_tile=d_tile,
     )
-    if ext_plan is not None:
-        pos_pad, rank, b0s, e_start = ext_plan
-        cap, slab_blocks, n_chunks = ext_static
-        return sddmm_extract_chunked(
-            tiles, pos_pad, rank, b0s, e_start,
-            cap=cap, slab_blocks=slab_blocks, n_chunks=n_chunks,
-            blk_h=meta.config.blk_h, blk_w=meta.config.blk_w,
-            num_edges=meta.num_edges,
-        )
     # Per-edge extraction as a LANE-ROW gather + fused one-hot select:
     # XLA's elementwise gather runs ~0.14 G elem/s while 128-lane row
     # gathers run ~3x faster even from the full tile array (amazon0601:
@@ -422,116 +405,6 @@ def sddmm_tc_dense(
     r = flat[rows]
     onehot = lane[:, None] == jnp.arange(meta.config.blk_w)[None, :]
     return jnp.sum(jnp.where(onehot, r, 0.0), axis=1)
-
-
-def build_sddmm_extract_plan(
-    edge_pos_host,
-    num_blocks: int,
-    blk_h: int,
-    blk_w: int,
-    *,
-    slab_bytes: int = 10 << 20,
-    itemsize: int = 4,
-):
-    """Host half of the chunk-local score extraction (hub graphs).
-
-    The straight ``flat[edge_pos // w]`` row gather reads from the FULL
-    score-tile array — 2 GB on amazon0601 — at the degraded large-source
-    row-gather rate (~3x below the <=100 MB rate, measured).  Sorting the
-    extraction by tile position makes each chunk's reads land in one
-    ~``slab_bytes`` tile slab (fast rate) with contiguous output ranges,
-    and a final lane-row remap through the [E]-sized sorted vector (a
-    small source by construction) restores CSR order.  Mega-windows do
-    NOT break this chunking: position-sorted edge ranges always map to
-    contiguous block ranges, whatever the window geometry — the thing
-    CSR-order chunking could not provide.
-
-    Returns the static plan ``(b0s, e_start, cap, slab_blocks, n_chunks)``
-    (numpy arrays + ints) or None when the tile array is small enough
-    that the direct gather already runs at the fast rate.
-    """
-    import numpy as np
-
-    tile = blk_h * blk_w
-    slab_blocks = max(1, slab_bytes // (tile * itemsize))
-    if num_blocks <= slab_blocks:
-        return None
-    n_chunks = -(-num_blocks // slab_blocks)
-    # Last chunk starts at B - slab so every dynamic slab slice is in
-    # range without padding the (multi-GB) tile array; starts stay
-    # monotone because (n_chunks-1)*slab < B.
-    b0s = np.minimum(
-        np.arange(n_chunks, dtype=np.int64) * slab_blocks,
-        num_blocks - slab_blocks,
-    )
-    pos_sorted = np.sort(np.asarray(edge_pos_host, np.int64))
-    e_start = np.searchsorted(pos_sorted, b0s * tile).astype(np.int32)
-    counts = np.diff(np.append(e_start, len(pos_sorted)))
-    cap = int(max(counts.max(), 1))
-    cap = max(-(-cap // 512) * 512, 512)
-    return (
-        b0s.astype(np.int32), e_start, cap, int(slab_blocks), int(n_chunks)
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cap", "slab_blocks", "n_chunks", "blk_h", "blk_w", "num_edges"
-    ),
-)
-def sddmm_extract_chunked(
-    tiles: jnp.ndarray,       # [B, blk_h, blk_w] score tiles
-    pos_sorted_pad: jnp.ndarray,  # [E + cap] int32, sorted positions, tail = last value
-    rank: jnp.ndarray,        # [E] int32: CSR edge e's index into the sorted order
-    b0s: jnp.ndarray,         # [n_chunks] int32 slab start blocks
-    e_start: jnp.ndarray,     # [n_chunks] int32 sorted-edge range starts
-    *,
-    cap: int,
-    slab_blocks: int,
-    n_chunks: int,
-    blk_h: int,
-    blk_w: int,
-    num_edges: int,
-) -> jnp.ndarray:
-    """Device half of the chunk-local extraction; returns CSR-order scores.
-
-    Stage A: per chunk, one contiguous tile slab (static ``slab_blocks``
-    blocks) serves a capacity-padded sorted-edge range — local row
-    gather + fused one-hot lane select + contiguous
-    ``dynamic_update_slice`` emission (``e_start`` is monotone, so each
-    chunk's write repairs its predecessor's padded tail, exactly like
-    ``ops.spmm.bd_sddmm_edges``).  Stage B: one lane-row remap through
-    the [E] sorted vector (source is E*4 bytes — small-source gather
-    rate) restores CSR order.
-    """
-    w = blk_w
-    flat = tiles.reshape(-1, w)
-    slab_rows = slab_blocks * blk_h
-    e_pad = _round_up(max(num_edges, 1), 128)
-    out = jnp.zeros((e_pad + cap,), jnp.float32)
-
-    def body(i, out):
-        b0 = b0s[i]
-        slab = jax.lax.dynamic_slice(
-            flat, (b0 * blk_h, 0), (slab_rows, w)
-        )
-        pos = jax.lax.dynamic_slice(pos_sorted_pad, (e_start[i],), (cap,))
-        rows = pos // w - b0 * blk_h
-        lane = pos % w
-        r = jnp.take(slab, rows, axis=0, mode="fill", fill_value=0)
-        vals = jnp.sum(
-            jnp.where(
-                lane[:, None] == jnp.arange(w)[None, :],
-                r.astype(jnp.float32),
-                0.0,
-            ),
-            axis=1,
-        )
-        return jax.lax.dynamic_update_slice(out, vals, (e_start[i],))
-
-    out = jax.lax.fori_loop(0, n_chunks, body, out)
-    return _extract_rows(out[:e_pad].reshape(-1, 128), rank)
 
 
 def sddmm_tc(

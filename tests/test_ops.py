@@ -98,13 +98,12 @@ def test_spmm_isolated_nodes():
     assert np.abs(np.asarray(got[250:])).max() == 0.0
 
 
-def test_sddmm_chunked_extraction_matches_oracle(monkeypatch):
-    """Hub-graph chunk-local extraction (ops.sddmm.sddmm_extract_chunked):
-    forcing the plan on a small graph must reproduce the direct lane-row
-    extraction bit-for-bit (same tiles, different gather route)."""
+def test_sddmm_edge_dot_route_matches_oracle(monkeypatch):
+    """Hub-graph edge-dot SDDMM route (graph.SDDMM_EDGE_DOT_BYTES): forcing
+    it on a small graph must match both the tile-path extraction and the
+    dense oracle — same semantics, no score-tile materialization."""
     import tcgnn_tpu.graph as G
     from tcgnn_tpu.graph import TiledGraph
-    import tcgnn_tpu.ops.sddmm as SD
 
     n, e = 260, 1600
     indptr, indices = make_graph(n, e, seed=21)
@@ -112,25 +111,22 @@ def test_sddmm_chunked_extraction_matches_oracle(monkeypatch):
     x = jax.random.normal(jax.random.PRNGKey(5), (n, 20), jnp.float32)
 
     g_plain = TiledGraph(indptr, indices, n, cfg, block_diag=False)
-    assert g_plain._sddmm_ext_static is None
     want = np.asarray(g_plain.sddmm(x))
 
-    # Force the chunked plan: threshold 0 and a tiny slab so several
-    # chunks + the overlapping last slab are exercised.
-    monkeypatch.setattr(G, "SDDMM_CHUNK_BYTES", 0)
-    orig = SD.build_sddmm_extract_plan
-    monkeypatch.setattr(
-        SD, "build_sddmm_extract_plan",
-        lambda *a, **k: orig(*a, **{**k, "slab_bytes": 3 * 16 * 16 * 4}),
-    )
-    monkeypatch.setattr(G, "build_sddmm_extract_plan", SD.build_sddmm_extract_plan)
-    g_chunk = TiledGraph(indptr, indices, n, cfg, block_diag=False)
-    assert g_chunk._sddmm_ext_static is not None
-    assert g_chunk._sddmm_ext_static[2] > 2  # several chunks
-    got = np.asarray(g_chunk.sddmm(x))
+    monkeypatch.setattr(G, "SDDMM_EDGE_DOT_BYTES", 0)
+    g_ed = TiledGraph(indptr, indices, n, cfg, block_diag=False)
+    got = np.asarray(g_ed.sddmm(x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
     oracle = np.asarray(
         sddmm_ref(x, jnp.asarray(indptr), jnp.asarray(indices))
     )
     np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-4)
+
+    # gradient flows through the edge-dot route exactly like the tile path
+    def loss(g, xx):
+        return jnp.sum(g.sddmm(xx) ** 2)
+
+    g_a = np.asarray(jax.grad(lambda xx: loss(g_ed, xx))(x))
+    g_b = np.asarray(jax.grad(lambda xx: loss(g_plain, xx))(x))
+    np.testing.assert_allclose(g_a, g_b, rtol=1e-4, atol=1e-4)
