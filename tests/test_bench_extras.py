@@ -50,3 +50,25 @@ def test_proc_prof_reduces_csvs(tmp_path, capsys):
     assert columns == ["Avg.Epoch (ms)"]
     assert by_key[("cora", "Avg.Epoch (ms)")] == [2.0, 4.0]
     assert np.mean(by_key[("pubmed", "Avg.Epoch (ms)")]) == 6.0
+
+
+def test_epoch_ledger_smoke(tmp_path):
+    """Measured per-stage epoch ledger: stages are measured, summed, and
+    the CSV row carries the decomposition (methodology harness; numeric
+    quality asserts are TPU-only)."""
+    from tcgnn_tpu.bench import epoch_ledger as E
+
+    out = tmp_path / "ledger.csv"
+    rows = E.main([
+        "--datasets", "rand_1500_9000", "--epochs", "12",
+        "--dtype", "float32", "--reorder", "none", "--out", str(out),
+    ])
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["epoch_ms"] > 0 and r["dense_rest_ms"] > 0
+    assert len(r["agg_stages"]) >= 3  # L1 fwd + L2 fwd + L2 bwd
+    assert abs(r["stage_sum_ms"] - (
+        r["dense_rest_ms"] + r["agg_ms"]
+    )) < 1e-6
+    header = out.read_text().splitlines()[0]
+    assert header.startswith("dataset,epoch_ms")
