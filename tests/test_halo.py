@@ -105,3 +105,52 @@ def test_overlap_remote_col_ids_ext_in_range():
     ext_rows = fwd.rows_per_shard + fwd.halo["halo_rows"]
     ov = fwd.halo["overlap_remote_col_ids_ext"]
     assert ov.min() >= 0 and ov.max() < ext_rows
+
+
+def test_plan_halo_rounds_schedule_properties():
+    """Quantized partial-pair rounds: coverage, monotone positions, wire
+    within the budget, heavy-requester pairs ride extra rounds alone."""
+    import numpy as np
+
+    from tcgnn_tpu.parallel.partition import plan_halo_rounds
+
+    G = 6
+    rng = np.random.default_rng(0)
+    pc = rng.integers(20, 60, (G, G)).astype(np.int64)
+    np.fill_diagonal(pc, 0)
+    pc[3, :] = 900  # heavy requester
+    pc[3, 3] = 0
+
+    offset_caps, rounds, halo_rows = plan_halo_rounds(pc)
+    assert halo_rows == sum(c for _, c in offset_caps)
+    # positions tile the halo slab contiguously
+    pos = 0
+    for p, sz, pairs in rounds:
+        assert p == pos or p > 0  # rounds within an offset restart at seg+jq
+        assert sz > 0 and len(pairs) >= 1
+        pos = max(pos, p + sz)
+    assert pos == halo_rows
+    # every pair's rows are fully covered by its rounds
+    seg = {}
+    run = 0
+    for o, c in offset_caps:
+        seg[o] = run
+        run += c
+    for o, cap in offset_caps:
+        for s in range(G):
+            need = int(pc[s][(s + o) % G])
+            got = sum(
+                min(sz, max(0, need - (p - seg[o])))
+                for p, sz, pairs in rounds
+                if seg[o] <= p < seg[o] + cap
+                and ((s + o) % G, s) in pairs
+            )
+            assert got >= need, (o, s, got, need)
+    # scheduled wire within the planner's own budget
+    wire = sum(sz * len(pairs) for _, sz, pairs in rounds)
+    ideal = int(pc.sum())
+    n_pairs = int((pc > 0).sum())
+    assert wire <= 1.25 * ideal + 64 * n_pairs
+    # light pairs do NOT ride the heavy requester's deep rounds
+    deep = [r for r in rounds if len(r[2]) == 1]
+    assert deep, "heavy requester should get solo rounds"
