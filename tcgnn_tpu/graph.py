@@ -21,6 +21,7 @@ Differences from the reference, on purpose:
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional
 
 import jax
@@ -82,20 +83,28 @@ HOST_TILE_BUILD_LIMIT = 64 << 20
 SDDMM_EDGE_DOT_BYTES = 512 << 20
 
 
-def _auto_block_group(row_pointers, column_index, config) -> int:
-    """Resolve ``block_group=0``: 2 for block-dense windows, else 1."""
+def _round_up_int(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _auto_block_group(row_pointers, column_index, config):
+    """Resolve ``block_group=0``: 2 for block-dense windows, else 1.
+
+    Returns ``(group, per_window_counts)`` — the counting pass is the
+    dominant host cost on small graphs (~9 ms on pubmed), so the counts
+    are handed back for the dense-vs-chunk gate to reuse."""
     from tcgnn_tpu.sgt import native
 
     n_rows = len(row_pointers) - 1
     if n_rows <= 0 or len(column_index) == 0 or not native.available():
-        return 1
+        return 1, None
     per_win = native.count_blocks(
         np.ascontiguousarray(row_pointers, np.int64),
         np.ascontiguousarray(column_index, np.int32),
         config.blk_h, config.blk_w,
     )
     avg = float(np.maximum(per_win, 1).mean())
-    return 2 if avg >= 8.0 else 1
+    return (2 if avg >= 8.0 else 1), per_win
 
 
 class TiledGraph:
@@ -124,18 +133,27 @@ class TiledGraph:
             num_nodes = len(row_pointers) - 1
         self.num_nodes = int(num_nodes)
         self.num_edges = int(len(column_index))
+        # Host-pass seconds (SGT counting/translation/transpose/BD
+        # extraction — no device placement): the reference's "Prep." times
+        # ONLY its C++ pass (main_tcgnn.py:54); the metadata .cuda() moves
+        # at :56-60 sit OUTSIDE its timer.  The trainer reports this
+        # alongside the full build time for a like-for-like comparison.
+        self.prep_host_s = 0.0
+        _t0 = time.perf_counter()
+        per_win_f = None
         if config.block_group == 0:
             # AUTO group: one cheap native count pass decides whether the
             # dense kernel groups 2 consecutive blocks per grid step
             # (block-dense windows: >=8 blocks/window measures 15-35%
             # faster grouped) or stays at 1 (sparse windows, where group
-            # padding inflates the condensed gather).
-            config = dataclasses.replace(
-                config, block_group=_auto_block_group(
-                    row_pointers, column_index, config
-                )
+            # padding inflates the condensed gather).  The counts feed the
+            # dense-vs-chunk gate below too — one pass, not two.
+            group, per_win_f = _auto_block_group(
+                row_pointers, column_index, config
             )
+            config = dataclasses.replace(config, block_group=group)
         self.config = config
+        self.prep_host_s += time.perf_counter() - _t0
         self.symmetric = symmetric
         self.interpret = interpret
 
@@ -146,8 +164,11 @@ class TiledGraph:
         # order even when the structure is symmetric.  Symmetry is
         # auto-detected by comparing the transpose CSR (cheap array
         # equality); all the reference AE graphs are symmetrized.
+        _t0 = time.perf_counter()
         t_ptr, t_idx, t_src = transpose_csr(row_pointers, column_index, num_nodes)
+        self.prep_host_s += time.perf_counter() - _t0
         self._t_edge_src = jnp.asarray(t_src)
+        _t0 = time.perf_counter()
         if not symmetric and len(t_ptr) == len(row_pointers):
             symmetric = bool(
                 np.array_equal(np.asarray(t_ptr, np.int64), np.asarray(row_pointers, np.int64))
@@ -162,8 +183,12 @@ class TiledGraph:
         # the flat index space overflows int32.  The cheap count pass decides
         # before the full translation runs.
         tile_elems = config.blk_h * config.blk_w
-        nb_f = count_blocks(row_pointers, column_index, num_nodes, config)
+        nb_f = count_blocks(
+            row_pointers, column_index, num_nodes, config,
+            per_window=per_win_f,
+        )
         nb_t = nb_f if symmetric else count_blocks(t_ptr, t_idx, num_nodes, config)
+        self.prep_host_s += time.perf_counter() - _t0
         fits_int32 = max(nb_f, nb_t) * tile_elems < 2**31
         # Structural tiles are int8 and shared when symmetric.
         dense_bytes = (nb_f if symmetric else nb_f + nb_t) * tile_elems
@@ -215,6 +240,7 @@ class TiledGraph:
         tile_bytes = config.blk_h * config.blk_w
         host_tiles_f = dense_tiles and nb_f * tile_bytes <= HOST_TILE_BUILD_LIMIT
         host_tiles_t = dense_tiles and nb_t * tile_bytes <= HOST_TILE_BUILD_LIMIT
+        _t0 = time.perf_counter()
         host_meta = sparse_graph_translate(
             row_pointers, column_index, num_nodes, config,
             emit_chunks=not dense_tiles, build_tiles=host_tiles_f,
@@ -227,6 +253,7 @@ class TiledGraph:
                 t_ptr, t_idx, num_nodes, config,
                 emit_chunks=not dense_tiles, build_tiles=host_tiles_t,
             )
+        self.prep_host_s += time.perf_counter() - _t0
 
         # Past the one-shot chunk kernels' SMEM-prefetch / condensed-slab
         # ceilings (Reddit scale), re-lay the chunk metadata as stacked
@@ -501,18 +528,29 @@ class TiledGraph:
         # already-resident column_index.  Both pass through the device
         # arrays so jitted steps carry no multi-MB HLO constants.
         sddmm_ext = None
+        self._sddmm_edge_chunk = 0
         if (
             dense_tiles
             and needs_condensed
             and self.num_edges
             and nb_f * tile_elems * 4 > SDDMM_EDGE_DOT_BYTES
         ):
+            cap = min(1 << 19, _round_up_int(self.num_edges, 512))
+            nc = -(-self.num_edges // cap)
+            pad = nc * cap - self.num_edges
             ed_rows = jnp.repeat(
                 jnp.arange(self.num_nodes, dtype=jnp.int32),
                 jnp.diff(self.row_pointers),
                 total_repeat_length=self.num_edges,
             )
-            sddmm_ext = (ed_rows, self.column_index)
+            ed_rows = jnp.concatenate(
+                [ed_rows, jnp.zeros((pad,), jnp.int32)]
+            )
+            ed_cols = jnp.concatenate(
+                [self.column_index, jnp.zeros((pad,), jnp.int32)]
+            )
+            self._sddmm_edge_chunk = cap
+            sddmm_ext = (ed_rows, ed_cols)
         self._device_arrays = (
             self.meta, self.meta_t, a_struct, a_struct_t, self._t_edge_src,
             bd_pack_f, bd_pack_t, smeta_f, smeta_t, sddmm_ext,
@@ -553,19 +591,39 @@ class TiledGraph:
     ):
         interpret = self.interpret
 
+        n_edges = self.num_edges
+
         def _edge_dot_sddmm(xa, xb):
             # Hub-graph route: per-edge <xa[row_e], xb[col_e]> from two E-row
             # gathers of the SMALL [N, d] operands — the 2E row-gather
             # bound, skipping the multi-GB score-tile array entirely (see
-            # SDDMM_EDGE_DOT_BYTES).  CSR-ordered rows gather near-
-            # sequentially; f32 products/sums fuse into the gathers.
-            ed_rows, ed_cols = sddmm_ext
+            # SDDMM_EDGE_DOT_BYTES).  Edges run in CHUNKS of ~0.5M: one
+            # monolithic [3.5M, 128] gather measured 92 ms on amazon0505
+            # where 8 chunked gathers of the same rows measure 16 (the
+            # chunk's gather+dot pipeline stays resident); split-d halves
+            # were WORSE (109/293 ms) — output working set, not source
+            # size, is what degrades.  f32 products/sums fuse per chunk;
+            # contiguous dynamic_update_slice emission, no scatter.
+            ed_rows, ed_cols = sddmm_ext  # [nc*cap] padded, sentinel 0
+            cap = self._sddmm_edge_chunk
+            nc = ed_rows.shape[0] // cap
             ct = self.config.compute_dtype
-            a = jnp.take(xa.astype(ct), ed_rows, axis=0, fill_value=0)
-            b = jnp.take(xb.astype(ct), ed_cols, axis=0, fill_value=0)
-            return jnp.sum(
-                a.astype(jnp.float32) * b.astype(jnp.float32), axis=1
-            )
+            a_all = xa.astype(ct)
+            b_all = xb.astype(ct)
+            out = jnp.zeros((nc * cap,), jnp.float32)
+
+            def body(i, out):
+                r = jax.lax.dynamic_slice(ed_rows, (i * cap,), (cap,))
+                c = jax.lax.dynamic_slice(ed_cols, (i * cap,), (cap,))
+                a = jnp.take(a_all, r, axis=0, fill_value=0)
+                b = jnp.take(b_all, c, axis=0, fill_value=0)
+                v = jnp.sum(
+                    a.astype(jnp.float32) * b.astype(jnp.float32), axis=1
+                )
+                return jax.lax.dynamic_update_slice(out, v, (i * cap,))
+
+            out = jax.lax.fori_loop(0, nc, body, out)
+            return out[:n_edges]
 
         def to_t(w):
             return w[t_edge_src]

@@ -517,15 +517,24 @@ def count_blocks(
     column_index: np.ndarray,
     num_nodes: int,
     config: TileConfig = DEFAULT_CONFIG,
+    per_window: np.ndarray | None = None,
 ) -> int:
     """Total block count (incl. empty-window padding blocks) without running
-    the full translation — used to pick dense vs chunk kernels up front."""
+    the full translation — used to pick dense vs chunk kernels up front.
+
+    ``per_window``: precomputed per-window real block counts (the native
+    counting pass) — callers that already ran it (block_group auto
+    resolution) pass it through instead of re-counting the graph."""
     from tcgnn_tpu.sgt import native
 
-    if native.available():
-        rp64 = np.ascontiguousarray(row_pointers, dtype=np.int64)
-        col32 = np.ascontiguousarray(column_index, dtype=np.int32)
-        real = native.count_blocks(rp64, col32, config.blk_h, config.blk_w)
+    if per_window is not None or native.available():
+        if per_window is None:
+            rp64 = np.ascontiguousarray(row_pointers, dtype=np.int64)
+            col32 = np.ascontiguousarray(column_index, dtype=np.int32)
+            per_window = native.count_blocks(
+                rp64, col32, config.blk_h, config.blk_w
+            )
+        real = np.asarray(per_window)
         num_windows = max(_cdiv(num_nodes, config.blk_h), 1)
         if len(real) < num_windows:
             real = np.pad(real, (0, num_windows - len(real)))

@@ -542,6 +542,11 @@ def main(argv=None):
     prep = time.perf_counter() - start
     print("TC_Blocks:\t{}\nExp_Edges:\t{}".format(graph.tc_blocks, graph.exp_edges))
     print("Prep. (ms):\t{:.3f}".format(prep * 1e3))
+    # Reference-equivalent prep: main_tcgnn.py:54 times ONLY the C++ SGT
+    # pass — the metadata .cuda() moves at :56-60 sit outside its timer.
+    # "Prep. (ms)" above includes this build's async upload dispatches;
+    # the host-pass line is the like-for-like number.
+    print("Prep host (ms):\t{:.3f}".format(graph.prep_host_s * 1e3))
 
     x = jnp.asarray(ds.x)
     y = jnp.asarray(ds.y.astype(np.int32))
