@@ -215,12 +215,14 @@ class TiledGraph:
                 and dense_bytes <= DENSE_TILE_BUDGET_BYTES
                 and dense_bytes + weighted_extra > DENSE_TILE_BUDGET_BYTES
             ):
+                _t0 = time.perf_counter()
                 bdm = extract_block_diag(row_pointers, column_index, num_nodes)
                 bdm_t = (
                     bdm
                     if (symmetric or bdm is None)
                     else extract_block_diag(t_ptr, t_idx, num_nodes)
                 )
+                self.prep_host_s += time.perf_counter() - _t0
                 if bdm is not None and bdm_t is not None:
                     self._bdm_probe = (bdm, bdm_t)
                     kmax = max(len(bdm.offsets), len(bdm_t.offsets))
@@ -345,12 +347,14 @@ class TiledGraph:
             if self._bdm_probe is not None:
                 bdm, bdm_t = self._bdm_probe
             else:
+                _t0 = time.perf_counter()
                 bdm = extract_block_diag(row_pointers, column_index, num_nodes)
                 bdm_t = (
                     bdm
                     if (symmetric or bdm is None)
                     else extract_block_diag(t_ptr, t_idx, num_nodes)
                 )
+                self.prep_host_s += time.perf_counter() - _t0
             if bdm is not None and bdm_t is not None:
                 self.block_diag = True
                 self._bd_offsets = bdm.offsets
@@ -534,6 +538,9 @@ class TiledGraph:
             and needs_condensed
             and self.num_edges
             and nb_f * tile_elems * 4 > SDDMM_EDGE_DOT_BYTES
+            # partial-coverage BD graphs with addressable packs serve
+            # SDDMM via bd_sddmm_edges — these arrays would be dead HBM
+            and not (self.block_diag and self._bd_addressable)
         ):
             cap = min(1 << 19, _round_up_int(self.num_edges, 512))
             nc = -(-self.num_edges // cap)

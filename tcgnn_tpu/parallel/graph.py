@@ -11,12 +11,17 @@ The reference framework is single-GPU with no distributed layer at all
   features owned by any shard.  The GPU kernel's shared-memory gather
   (``TCGNN_kernel.cu:415-427``) becomes a *boundary-only* exchange over the
   ``graph`` axis: request lists computed at partition time
-  (``partition.build_halo``), one ``jax.lax.all_to_all`` of exactly the
-  boundary rows per op, kernels gathering from a compact
-  ``[rows_per_shard + G*H]`` extended slab.  Per-device feature memory is
-  O(N/G + boundary) and ICI volume O(boundary·d) — not O(N·d) — and XLA
-  overlaps the async collective with the local-block compute (see the
-  overlap split).  The chunk fallback keeps the simpler full all_gather.
+  (``partition.build_halo``), exchanged by quantized partial-pair
+  ``ppermute`` rounds (``partition.plan_halo_rounds`` — per owner offset,
+  rounds of quantum Q listing only the pairs still owing rows), kernels
+  gathering from a compact ``[rows_per_shard + halo_rows]`` extended
+  slab.  Per-device feature memory is O(N/G + boundary) and the wire
+  volume sits within ~1.25× of the exact per-pair boundary — not O(N·d)
+  — and XLA overlaps the async collectives with the local-block compute
+  (see the overlap split).  The chunk fallback keeps the simpler full
+  all_gather, and Reddit-class shards auto-route to the distributed
+  STREAMED composition (``_build_ops_streamed``: per-shard window
+  segments scanned inside the shard map).
 * **per-edge vectors** (SDDMM scores, attention weights) are
   ``[G * edge_capacity]`` arrays sharded on ``graph`` — a shard's edges are
   the contiguous CSR slice of its rows, so no reshuffling is needed between
@@ -178,6 +183,13 @@ def _shards_need_streaming(
         # are valid on either path).
         if e_s // config.edge_chunk + wd > MAX_PREFETCH_CHUNKS:
             return True
+        # Block count can never exceed ceil(E_s/blk_w) + one per window:
+        # when even that bound fits the slab, skip the native counting
+        # pass entirely (it is an O(E) host pass partition_csr's translate
+        # repeats anyway — only borderline-big shards pay it).
+        blocks_ub = -(-e_s // config.blk_w) + wd
+        if blocks_ub * config.blk_w <= MAX_SLAB_ROWS:
+            continue
         if native.available() and e_s:
             blocks = int(np.sum(native.count_blocks(
                 np.ascontiguousarray(ptr[r0:r1 + 1] - ptr[r0]),

@@ -652,7 +652,8 @@ def partition_streamed(
     b_max = max(p[3] for p in plans)
     smetas = [
         stream_lib.segment_chunks(
-            m, num_segments=S, pad_chunks_to=c_max, pad_slab_blocks_to=b_max
+            m, num_segments=S, pad_chunks_to=c_max, pad_slab_blocks_to=b_max,
+            to_device=False,
         )
         for m in metas
     ]

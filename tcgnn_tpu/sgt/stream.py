@@ -111,6 +111,7 @@ def segment_chunks(
     pad_chunks_to: Optional[int] = None,
     pad_slab_blocks_to: Optional[int] = None,
     plan_only: bool = False,
+    to_device: bool = True,
 ) -> StreamedJaxMeta:
     """Re-lay chunk metadata as uniform window segments (host pass).
 
@@ -126,6 +127,9 @@ def segment_chunks(
     uniform shapes across shards.  ``plan_only=True`` returns just
     ``(S, wseg, c_max, b_max)`` without building the (GB-scale) arrays,
     so the cross-shard maxima can be agreed on first.
+    ``to_device=False`` keeps the arrays as host numpy (the distributed
+    builder stacks per-shard metas and uploads ONCE sharded — a device
+    round trip here would fetch GBs back at the tunnel's ~0.1 MB/s).
     """
     import jax.numpy as jnp
 
@@ -196,6 +200,8 @@ def segment_chunks(
         seg_eid[s, nc:] = meta.num_edges
         seg_col_ids[s, : (b1 - b0) * blk_w] = meta.col_ids[b0 * blk_w : b1 * blk_w]
 
+    _dev = jnp.asarray if to_device else np.asarray
+
     # SDDMM score layout moves from [Cn, EC] to [S, C_max, EC]; remap the
     # per-edge permutation accordingly.
     ep = np.asarray(meta.edge_perm, np.int64)
@@ -211,12 +217,12 @@ def segment_chunks(
         num_windows=W,
         wseg=wseg,
         num_segments=S,
-        seg_col_ids=jnp.asarray(seg_col_ids),
-        seg_r=jnp.asarray(seg_r),
-        seg_c=jnp.asarray(seg_c),
-        seg_edge_id=jnp.asarray(seg_eid),
-        seg_block=jnp.asarray(seg_block),
-        seg_window=jnp.asarray(seg_window),
-        seg_first=jnp.asarray(seg_first),
-        edge_perm=jnp.asarray(new_perm.astype(perm_dtype)),
+        seg_col_ids=_dev(seg_col_ids),
+        seg_r=_dev(seg_r),
+        seg_c=_dev(seg_c),
+        seg_edge_id=_dev(seg_eid),
+        seg_block=_dev(seg_block),
+        seg_window=_dev(seg_window),
+        seg_first=_dev(seg_first),
+        edge_perm=_dev(new_perm.astype(perm_dtype)),
     )
