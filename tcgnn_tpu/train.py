@@ -108,6 +108,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--no_dropout", action="store_true")
     p.add_argument(
+        "--max_chunk_epochs", type=int, default=0,
+        help="bound epochs per device-side execution (0 = whole run in "
+        "one); long single executions (reddit no-hoist, minutes-scale) "
+        "can trip remote-runtime limits",
+    )
+    p.add_argument(
         "--no_hoist", action="store_true",
         help="recompute the loop-invariant layer-1 aggregate every epoch "
         "(the reference's schedule) instead of hoisting it out of the "
@@ -602,6 +608,12 @@ def main(argv=None):
         epoch = start_epoch
         while epoch < args.epochs:
             chunk = args.epochs - epoch
+            if args.max_chunk_epochs:
+                # Bound single-execution length: very long device programs
+                # (reddit no-hoist at 50 epochs ~ 185 s in ONE execution)
+                # can trip remote-runtime/worker limits; chunking trades a
+                # few per-dispatch overheads for bounded executions.
+                chunk = min(chunk, args.max_chunk_epochs)
             if args.checkpoint_dir:
                 chunk = min(
                     chunk, args.checkpoint_every - epoch % args.checkpoint_every
