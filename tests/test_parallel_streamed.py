@@ -118,3 +118,25 @@ def test_streamed_grad_matches_single_device(mesh41):
     gd = np.asarray(jax.grad(loss_d)(dg.shard_features(x_host)))[:n, :8]
     g1_ = np.asarray(jax.grad(loss_1)(jnp.asarray(x_host)))
     np.testing.assert_allclose(gd, g1_, rtol=1e-3, atol=1e-3)
+
+
+def test_streamed_feature_sharded_matches_single_device():
+    """pf=2: per-feature-shard aggregation + the SDDMM's feature psum."""
+    mesh = make_mesh(n_graph=2, n_feature=2)
+    (ptr, cols), n = _graph(seed=13)
+    dg = DistributedTiledGraph(
+        ptr, cols, n, mesh, CFG, streamed=True, _stream_limits=LIMITS,
+    )
+    assert dg.streamed and dg.pf == 2
+    g1 = TiledGraph(ptr, cols, n, CFG)
+    rng = np.random.default_rng(5)
+    x_host = rng.standard_normal((n, 32)).astype(np.float32)
+    xs = dg.shard_features(x_host)
+
+    got = np.asarray(dg.spmm(xs))[:n, :32]
+    want = np.asarray(g1.spmm(jnp.asarray(x_host)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    got_s = dg.gather_edge_vector(dg.sddmm(xs))
+    want_s = np.asarray(g1.sddmm(jnp.asarray(x_host)))
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-4)
